@@ -1,0 +1,75 @@
+"""Import published PyTorch MI-GAN weights (.pt state_dicts) into our pytrees.
+
+Layout conversions:
+  - conv weights: torch OIHW -> HWIO (transpose 2,3,1,0); depthwise
+    [C,1,k,k] -> [k,k,1,C].
+  - buffers belonging to the fixed resampling machinery
+    (``*.filter.weight``, ``*.filter_const``) are *dropped*: in this framework
+    resampling is computed (ops.upfirdn2d), not baked into conv weights
+    (reference: lib/model_zoo/migan_inference.py:58-103).
+
+The key map follows the reference module tree
+(reference: lib/model_zoo/migan_inference.py:203-369) so published
+migan_256.pt / migan_512.pt checkpoints import without edits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt state_dict into plain numpy arrays (torch CPU required)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _oihw_to_hwio(w: np.ndarray) -> jnp.ndarray:
+    assert w.ndim == 4
+    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _set(tree: Dict[str, Any], path, value) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def import_migan_inference(
+    state_dict: Mapping[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Convert a reference `migan_inference.Generator` state_dict to params.
+
+    Returns the pytree consumed by
+    :func:`migan_tpu.models.migan_inference.generator_apply`.
+    """
+    params: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        # Fixed resampling machinery -> computed in ops, skip.
+        if "filter" in parts or leaf == "filter_const":
+            continue
+        if leaf == "weight" and parts[-2] in ("conv1", "conv2", "fromrgb",
+                                              "torgb"):
+            _set(params, parts[:-1] + ["weight"], _oihw_to_hwio(val))
+        elif leaf == "bias":
+            _set(params, parts[:-1] + ["bias"], jnp.asarray(val))
+        elif leaf == "noise_const":
+            _set(params, parts, jnp.asarray(val))
+        elif leaf == "noise_strength":
+            _set(params, parts, jnp.asarray(val))
+        else:
+            raise ValueError(f"unrecognized checkpoint key: {key}")
+
+    # The reference attaches noise buffers to the SeparableConv2d module
+    # (…conv1.noise_const); our pytree does the same, so no re-rooting needed.
+    return params
