@@ -1,0 +1,112 @@
+"""Inpainting demo CLI — behavioral clone of the reference demo
+(reference: scripts/demo.py) running the TPU-native generator.
+
+    python -m migan_tpu.cli.demo --model-name migan-256 \
+        --model-path migan_256.pt --images-dir imgs/ --masks-dir masks/ \
+        --output-dir out/
+
+Accepts the published PyTorch .pt state_dicts (imported on the fly) or this
+framework's native .npz weights. The whole per-image model path (4-channel
+input -> generator -> [-1,1] RGB) is one jitted XLA program; pre/post
+processing matches the reference bit-for-bit (see data/preprocess.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+
+from ..data.preprocess import read_mask, resize_max, preprocess, postprocess
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-name", required=True,
+                   help="One of [migan-256, migan-512, comodgan-256, comodgan-512]")
+    p.add_argument("--model-path", required=True, help="Saved model path "
+                   "(.pt torch state_dict or .npz native).")
+    p.add_argument("--images-dir", type=Path, required=True)
+    p.add_argument("--masks-dir", type=Path, required=True)
+    p.add_argument("--invert-mask", action="store_true",
+                   help="Invert mask? (make 0-known, 1-hole)")
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--device", type=str, default="tpu",
+                   help="Accepted for reference-CLI compatibility; JAX "
+                   "selects the platform.")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    return p.parse_args(argv)
+
+
+def load_model(model_name: str, model_path: str, dtype: str = "float32"):
+    """Returns (jitted_forward, resolution). forward: [N,H,W,4] -> [N,H,W,3]."""
+    import jax
+    import jax.numpy as jnp
+
+    if model_name in ("migan-256", "migan-512"):
+        from ..models.migan_inference import GeneratorConfig, generator_apply
+
+        resolution = int(model_name.split("-")[1])
+        cfg = GeneratorConfig(resolution=resolution)
+        if model_path.endswith(".npz"):
+            from ..io.checkpoint import load_npz
+
+            params = load_npz(model_path)
+        else:
+            from ..io import load_torch_state_dict, import_migan_inference
+
+            params = import_migan_inference(load_torch_state_dict(model_path))
+
+        @jax.jit
+        def forward(x):
+            y = generator_apply(params, x.astype(dtype), cfg)
+            return y.astype(jnp.float32)
+
+        return forward, resolution
+
+    if model_name in ("comodgan-256", "comodgan-512"):
+        from ..models.comodgan import load_comodgan_forward
+
+        return load_comodgan_forward(model_name, model_path, dtype)
+
+    raise ValueError(f"Unsupported model name: {model_name}")
+
+
+def main(argv=None):
+    args = get_args(argv)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+
+    forward, resolution = load_model(args.model_name, args.model_path,
+                                     args.dtype)
+
+    img_paths = []
+    for ext in (".jpg", ".jpeg", ".png"):
+        img_paths += glob(os.path.join(str(args.images_dir), "**", f"*{ext}"),
+                          recursive=True)
+    img_paths = sorted(img_paths)
+
+    from PIL import Image
+
+    for img_path in img_paths:
+        stem = "".join(os.path.basename(img_path).split(".")[:-1])
+        mask_path = os.path.join(str(args.masks_dir), stem + ".png")
+
+        img = Image.open(img_path).convert("RGB")
+        img_resized = resize_max(img, max_size=resolution)
+        mask = read_mask(mask_path, invert=args.invert_mask)
+        mask_resized = resize_max(mask, max_size=resolution,
+                                  interpolation=Image.NEAREST)
+
+        x = preprocess(img_resized, mask_resized, resolution)
+        result = np.asarray(forward(x))[0]
+        composed = postprocess(result, img_resized, mask_resized)
+        composed.save(args.output_dir / f"{Path(img_path).stem}.png")
+        print(f"inpainted {img_path}")
+
+
+if __name__ == "__main__":
+    main()
