@@ -73,3 +73,72 @@ def import_migan_inference(
     # The reference attaches noise buffers to the SeparableConv2d module
     # (…conv1.noise_const); our pytree does the same, so no re-rooting needed.
     return params
+
+
+def import_migan_train(
+    state_dict: Mapping[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Convert a reference training-net state_dict (G encoder+synthesis or D)
+    to our pytree.
+
+    Handles the reference's per-tensor re-parameterization weights
+    ``w0 .. wN-1`` (reference: lib/model_zoo/migan.py:86-92) by stacking them
+    into our single ``w_stack`` array [N, kh, kw, I/g, O], and drops
+    ``resample_filter`` buffers (computed in ops here).
+    """
+    import re
+
+    reparam: Dict[str, list] = {}
+    params: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "resample_filter":
+            continue
+        m = re.fullmatch(r"w(\d+)", leaf)
+        if m is not None:
+            reparam.setdefault(".".join(parts[:-1]), []).append(
+                (int(m.group(1)), val))
+            continue
+        if leaf == "weight":
+            if val.ndim == 4:
+                _set(params, parts, _oihw_to_hwio(val))
+            else:  # Dense [out, in]
+                _set(params, parts, jnp.asarray(val))
+        elif leaf in ("bias", "noise_const", "noise_strength"):
+            _set(params, parts, jnp.asarray(val))
+        else:
+            raise ValueError(f"unrecognized checkpoint key: {key}")
+
+    for prefix, tensors in reparam.items():
+        tensors.sort(key=lambda t: t[0])
+        stack = np.stack([np.transpose(v, (2, 3, 1, 0)) for _, v in tensors])
+        _set(params, prefix.split(".") + ["w_stack"], jnp.asarray(stack))
+    return params
+
+
+def export_migan_train(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_migan_train` (minus dropped buffers):
+    our pytree -> reference-style flat state_dict in torch layouts."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    walk(params)
+    out: Dict[str, np.ndarray] = {}
+    for key, v in flat.items():
+        if key.endswith("w_stack"):
+            base = key[: -len("w_stack")]
+            for i in range(v.shape[0]):
+                out[f"{base}w{i}"] = np.transpose(v[i], (3, 2, 0, 1))
+        elif key.endswith("weight") and v.ndim == 4:
+            out[key] = np.transpose(v, (3, 2, 0, 1))
+        else:
+            out[key] = v
+    return out
