@@ -1,0 +1,236 @@
+"""Jitted GAN training steps + optimizer/EMA machinery.
+
+TPU-native replacement for the reference's phase loop
+(reference: lib/experiments/migan_default.py:177-225,334-358,408-424):
+
+  - One jitted step function per phase combination, selected by *static*
+    booleans (do_dr1) — the reference's interval-gated phase list becomes a
+    cyclic schedule over a handful of compiled programs; no recompilation.
+  - Lazy-regularization optimizer adjustment: lr *= r/(r+1),
+    beta **= r/(r+1) (reference migan_default.py:344-348), expressed once at
+    optimizer construction (optax.adam).
+  - Gradient sanitization nan_to_num(nan=0, ±1e5)
+    (reference migan_default.py:219-221 / torch_utils/misc.py:46-56).
+  - noise_const buffers are *frozen* (they are non-trainable registered
+    buffers in the reference) via a gradient mask.
+  - EMA: p_ema = lerp(p, p_ema, beta), beta = 0.5 ** (batch / ema_nimg)
+    with optional ramp-up (reference migan_default.py:413-420).
+
+Data parallelism: these steps are pure; shard the batch over a
+jax.sharding.Mesh 'data' axis and replicate params (see parallel/mesh.py) —
+XLA inserts the gradient all-reduce, replacing DDP autograd hooks
+(SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import migan
+from . import loss as losses
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    """reference configs/experiment/*.yaml g_opt_kwargs/d_opt_kwargs."""
+
+    lr: float = 1e-3
+    beta1: float = 0.0
+    beta2: float = 0.99
+    eps: float = 1e-8
+    reg_interval: Optional[int] = None  # lazy regularization interval
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    g_opt: OptConfig = OptConfig(reg_interval=4)
+    d_opt: OptConfig = OptConfig(reg_interval=16)
+    loss: losses.LossConfig = losses.LossConfig()
+    batch_size: int = 32           # global batch
+    ema_kimg: float = 20.0
+    ema_rampup: Optional[float] = None
+
+
+def make_optimizer(opt: OptConfig) -> optax.GradientTransformation:
+    """Adam with the lazy-regularization mb_ratio adjustment baked in."""
+    lr, b1, b2 = opt.lr, opt.beta1, opt.beta2
+    if opt.reg_interval is not None:
+        mb_ratio = opt.reg_interval / (opt.reg_interval + 1)
+        lr = lr * mb_ratio
+        b1 = b1 ** mb_ratio
+        b2 = b2 ** mb_ratio
+    return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=opt.eps)
+
+
+def _sanitize_grads(grads):
+    """reference torch_utils/misc.py:46-56 applied to every grad."""
+    return jax.tree_util.tree_map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
+
+
+def _freeze_buffers(grads):
+    """Zero grads of non-trainable buffers (noise_const)."""
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k == "noise_const":
+                out[k] = jnp.zeros_like(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(grads)
+
+
+@dataclass
+class TrainState:
+    """The full training state pytree (checkpointed by orbax — richer than
+    the reference pkl, which drops optimizer moments, SURVEY.md §5.4)."""
+
+    params_G: Dict[str, Any]
+    params_D: Dict[str, Any]
+    params_G_ema: Dict[str, Any]
+    opt_G: Any
+    opt_D: Any
+    step: jnp.ndarray  # int32 scalar
+    nimg: jnp.ndarray  # int32 scalar
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params_G, s.params_D, s.params_G_ema, s.opt_G, s.opt_D,
+                s.step, s.nimg), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def init_train_state(key, g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
+                     cfg: TrainConfig) -> TrainState:
+    kg, kd = jax.random.split(key)
+    params_G = migan.generator_init(kg, g_cfg)
+    params_D = migan.discriminator_init(kd, d_cfg)
+    tx_g = make_optimizer(cfg.g_opt)
+    tx_d = make_optimizer(cfg.d_opt)
+    return TrainState(
+        params_G=params_G,
+        params_D=params_D,
+        params_G_ema=jax.tree_util.tree_map(jnp.copy, params_G),
+        opt_G=tx_g.init(params_G),
+        opt_D=tx_d.init(params_D),
+        step=jnp.zeros((), jnp.int32),
+        nimg=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_update(params_G, params_G_ema, nimg, cfg: TrainConfig):
+    """reference migan_default.py:413-420; buffers (noise_const) copied."""
+    ema_nimg = cfg.ema_kimg * 1000.0
+    if cfg.ema_rampup is not None:
+        ema_nimg = jnp.minimum(ema_nimg, nimg.astype(jnp.float32)
+                               * cfg.ema_rampup)
+    beta = 0.5 ** (cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+
+    def walk(p, e):
+        return p + beta * (e - p)  # p.lerp(e, beta)
+
+    new_ema = jax.tree_util.tree_map(walk, params_G, params_G_ema)
+
+    # buffers tracked verbatim
+    def copy_buffers(tree, ema_tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = copy_buffers(v, ema_tree[k])
+            elif k == "noise_const":
+                out[k] = v
+            else:
+                out[k] = ema_tree[k]
+        return out
+
+    return copy_buffers(params_G, new_ema)
+
+
+def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
+                    cfg: TrainConfig, teacher_fn=None):
+    """Build train_step(state, batch, rng, *, do_dr1) -> (state, stats).
+
+    batch: dict(real=[N,H,W,3], mask=[N,H,W,1]) NHWC, mask 1=known.
+    `do_dr1` is static: two compiled variants cover the schedule
+    (Gmain+Dmain every step; +Dreg every d_reg_interval steps; the
+    reference's Greg phase is a no-op — MIGANLoss has no G regularizer).
+    """
+    tx_g = make_optimizer(cfg.g_opt)
+    tx_d = make_optimizer(cfg.d_opt)
+
+    @functools.partial(jax.jit, static_argnames=("do_dr1",))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array, *, do_dr1: bool = False
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        real = batch["real"]
+        mask = batch["mask"]
+        erased = real * mask
+        k_g, k_d = jax.random.split(rng)
+
+        # ---- G phase -----------------------------------------------------
+        def g_loss_fn(params_G):
+            return losses.g_loss(params_G, state.params_D, real, mask,
+                                 erased, k_g, g_cfg, d_cfg, cfg.loss,
+                                 teacher_fn)
+
+        (g_l, g_stats), g_grads = jax.value_and_grad(g_loss_fn,
+                                                     has_aux=True)(
+            state.params_G)
+        g_grads = _freeze_buffers(_sanitize_grads(g_grads))
+        g_updates, opt_G = tx_g.update(g_grads, state.opt_G, state.params_G)
+        params_G = optax.apply_updates(state.params_G, g_updates)
+
+        # ---- Dmain phase ----------------------------------------------------
+        def d_loss_fn(params_D):
+            return losses.d_loss(params_D, params_G, real, mask, erased,
+                                 k_d, g_cfg, d_cfg)
+
+        (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn,
+                                                     has_aux=True)(
+            state.params_D)
+        d_grads = _sanitize_grads(d_grads)
+        d_updates, opt_D = tx_d.update(d_grads, state.opt_D, state.params_D)
+        params_D = optax.apply_updates(state.params_D, d_updates)
+
+        # ---- Dreg phase (separate optimizer step at post-Dmain params,
+        # loss scaled by the lazy-reg interval — reference runs phases
+        # [Gmain, Dmain, Dreg] as distinct opt.step()s) ----------------------
+        if do_dr1:
+            gain = cfg.d_opt.reg_interval or 1
+
+            def d_r1_fn(p):
+                r1_l, r1_stats = losses.d_r1_loss(p, real, mask, d_cfg,
+                                                  cfg.loss.r1_gamma)
+                return r1_l * gain, r1_stats
+
+            (_, r1_stats), r1_grads = jax.value_and_grad(d_r1_fn,
+                                                         has_aux=True)(
+                params_D)
+            r1_grads = _sanitize_grads(r1_grads)
+            r1_updates, opt_D = tx_d.update(r1_grads, opt_D, params_D)
+            params_D = optax.apply_updates(params_D, r1_updates)
+            d_stats = {**d_stats, **r1_stats}
+
+        # ---- EMA + counters ------------------------------------------------
+        nimg = state.nimg + real.shape[0]
+        params_G_ema = ema_update(params_G, state.params_G_ema, nimg, cfg)
+
+        new_state = TrainState(
+            params_G=params_G, params_D=params_D, params_G_ema=params_G_ema,
+            opt_G=opt_G, opt_D=opt_D, step=state.step + 1, nimg=nimg)
+        stats = {**g_stats, **d_stats}
+        return new_state, stats
+
+    return train_step
