@@ -1,0 +1,83 @@
+"""Headline benchmark: MI-GAN-512 batched inference throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline (BASELINE.json north star): >= 2000 images/sec on a v5e-8 slice,
+i.e. 250 images/sec/chip. The model forward is the pure generator
+(4-ch NHWC in, 3-ch RGB out), matching the paper's timing methodology
+(reference README.md:231 — pure model, no pipeline pre/post).
+"""
+
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PER_CHIP = 2000.0 / 8.0  # north-star 2000 img/s on v5e-8
+
+
+def bench_migan512(batch_sizes=(8, 16, 32, 64), warmup=3, iters=10):
+    import jax
+    import jax.numpy as jnp
+    from migan_tpu.models.migan_inference import (
+        GeneratorConfig, generator_init, generator_apply,
+    )
+
+    cfg = GeneratorConfig(resolution=512)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.ndim >= 1 else p, params)
+
+    @jax.jit
+    def fwd(params, x):
+        return generator_apply(params, x, cfg)
+
+    import numpy as np
+
+    @jax.jit
+    def checksum(y):
+        return jnp.sum(y.astype(jnp.float32))
+
+    best = 0.0
+    best_bs = None
+    for bs in batch_sizes:
+        try:
+            x = jnp.zeros((bs, 512, 512, 4), jnp.bfloat16)
+            for _ in range(warmup):
+                # NOTE: block_until_ready is unreliable through the remote
+                # PJRT tunnel; a scalar host fetch is the only true sync.
+                float(np.asarray(checksum(fwd(params, x))))
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(iters):
+                y = fwd(params, x)
+            # device stream is FIFO: syncing on the last call's checksum
+            # bounds the completion of all `iters` executions.
+            float(np.asarray(checksum(y)))
+            dt = time.perf_counter() - t0
+            ips = bs * iters / dt
+        except Exception as e:  # OOM at large batch etc.
+            print(f"# batch {bs}: {type(e).__name__}", file=sys.stderr)
+            continue
+        print(f"# batch {bs}: {ips:.1f} img/s", file=sys.stderr)
+        if ips > best:
+            best, best_bs = ips, bs
+    return best, best_bs
+
+
+def main():
+    value, bs = bench_migan512()
+    print(json.dumps({
+        "metric": "migan512_inference_throughput",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_PER_CHIP, 3),
+        "batch_size": bs,
+    }))
+
+
+if __name__ == "__main__":
+    main()
