@@ -105,7 +105,10 @@ def import_migan_train(
                 _set(params, parts, _oihw_to_hwio(val))
             else:  # Dense [out, in]
                 _set(params, parts, jnp.asarray(val))
-        elif leaf in ("bias", "noise_const", "noise_strength"):
+        elif leaf == "const":
+            # StyleGAN b4 const input: torch [C, res, res] -> NHWC [res,res,C]
+            _set(params, parts, jnp.asarray(val.transpose(1, 2, 0)))
+        elif leaf in ("bias", "noise_const", "noise_strength", "w_avg"):
             _set(params, parts, jnp.asarray(val))
         else:
             raise ValueError(f"unrecognized checkpoint key: {key}")
