@@ -1,0 +1,137 @@
+"""Deterministic shard-aware samplers + a threaded prefetching batch loader.
+
+Replaces the reference's DistributedSampler + torch DataLoader
+(reference: lib/data_factory/common/ds_sampler.py:7-85, used at
+lib/experiments/migan_default.py:271-295):
+
+  - The reference makes the shuffle order identical across ranks by
+    broadcasting a rank-0 randperm over NCCL (ds_sampler.py:77-85). Here all
+    hosts derive the same permutation from the same integer seed — no
+    collective needed.
+  - `extend=True` pads to equal per-shard length for eval (ds_sampler.py:49-52).
+  - The loader is a thread pool + bounded queue (replaces torch DataLoader
+    worker processes; the work is PIL decode + numpy, which releases the GIL
+    in the hot parts).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .factory import collate
+
+
+class ShardSampler:
+    """Rank-strided sampler with a seed-derived global permutation."""
+
+    def __init__(self, dataset_len: int, num_shards: int = 1, shard: int = 0,
+                 shuffle: bool = True, seed: int = 0, extend: bool = False):
+        assert 0 <= shard < num_shards
+        self.n = dataset_len
+        self.num_shards = num_shards
+        self.shard = shard
+        self.shuffle = shuffle
+        self.seed = seed
+        self.extend = extend
+
+    def epoch_indices(self, epoch: int = 0) -> np.ndarray:
+        if self.shuffle:
+            order = np.random.RandomState(self.seed + epoch).permutation(
+                self.n)
+        else:
+            order = np.arange(self.n)
+        if self.extend:
+            # pad so every shard sees the same count (eval re-interleaving)
+            pad = (-len(order)) % self.num_shards
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+        else:
+            usable = (len(order) // self.num_shards) * self.num_shards
+            order = order[:usable]
+        return order[self.shard::self.num_shards]
+
+
+class InfiniteSampler:
+    """Endless shuffled index stream (training; reference misc.py:109-140
+    capability, simplified to seed-derived reshuffling per pass)."""
+
+    def __init__(self, dataset_len: int, num_shards: int = 1, shard: int = 0,
+                 seed: int = 0):
+        self.inner = ShardSampler(dataset_len, num_shards, shard,
+                                  shuffle=True, seed=seed)
+
+    def __iter__(self) -> Iterator[int]:
+        epoch = 0
+        while True:
+            yield from self.inner.epoch_indices(epoch)
+            epoch += 1
+
+
+class DataLoader:
+    """Threaded prefetching batch loader over (dataset, indices)."""
+
+    def __init__(self, dataset, batch_size: int, indices=None,
+                 num_workers: int = 4, prefetch: int = 4,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices = indices
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def _index_batches(self):
+        it = iter(self.indices if self.indices is not None
+                  else range(len(self.dataset)))
+        batch: List[int] = []
+        for idx in it:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        batch_iter = self._index_batches()
+        lock = threading.Lock()
+
+        def next_batch():
+            with lock:
+                return next(batch_iter, None)
+
+        def worker():
+            while not stop.is_set():
+                idxs = next_batch()
+                if idxs is None:
+                    q.put(None)
+                    return
+                items = [self.dataset[i] for i in idxs]
+                q.put(collate(items))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        try:
+            while finished < self.num_workers:
+                item = q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+            # drain so workers blocked on put() can exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
