@@ -1,0 +1,167 @@
+"""Batched FID + LPIPS evaluation CLI — behavioral clone of the reference
+(reference: scripts/evaluate_fid_lpips.py), running model + detectors as
+jitted XLA programs.
+
+    python -m migan_tpu.cli.evaluate --model-name migan-256 \
+        --model-path migan_256.pt --real-dir places_val/ \
+        [--mask-dir masks/] [--batch-size 64] \
+        [--inception-weights pt_inception.pth] [--lpips-weights alex.pth]
+
+Protocol parity with the reference:
+  - np.random.seed(0) / random.seed(0) before mask synthesis
+    (evaluate_fid_lpips.py:180-181)
+  - images resized BICUBIC to model res; pre-generated masks (255=known) or
+    on-the-fly RandomMask
+  - composite = mask*img + (1-mask)*output; both metrics on [0,1] images
+  - FID from full activation arrays via np.mean/np.cov + scipy sqrtm
+
+Detector weights are .pth/.pt state_dicts (pytorch_fid InceptionV3 /
+lpips alex). Without them, --allow-random-detector runs the pipeline with
+random detector weights (plumbing smoke test; metric values meaningless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+import numpy as np
+
+from ..data.masks import random_mask_uint8
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-name", type=str, required=True)
+    p.add_argument("--model-path", type=str, required=True)
+    p.add_argument("--real-dir", type=Path, required=True)
+    p.add_argument("--mask-dir", type=Path, default=None)
+    p.add_argument("--device", type=str, default="tpu")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--inception-weights", type=str, default=None)
+    p.add_argument("--lpips-weights", type=str, default=None)
+    p.add_argument("--allow-random-detector", action="store_true")
+    p.add_argument("--max-items", type=int, default=None)
+    return p.parse_args(argv)
+
+
+class InferenceDataset:
+    """reference evaluate_fid_lpips.py:124-165 (NHWC)."""
+
+    IMG_EXT = {".jpg", ".jpeg", ".JPG", ".JPEG", ".png", ".PNG"}
+
+    def __init__(self, real_dir: Path, mask_dir=None, resolution=None):
+        self.img_paths = [p for p in Path(real_dir).iterdir()
+                          if p.suffix in self.IMG_EXT]
+        self.mask_dir = mask_dir
+        self.resolution = resolution
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def __getitem__(self, index):
+        from PIL import Image
+
+        img_path = self.img_paths[index]
+        img = Image.open(img_path).convert("RGB")
+        if img.size != (self.resolution, self.resolution):
+            img = img.resize((self.resolution, self.resolution),
+                             Image.BICUBIC)
+        if self.mask_dir is not None:
+            mask = Image.open(self.mask_dir / f"{img_path.stem}.png")
+            mask = mask.convert("L").resize(
+                (self.resolution, self.resolution), Image.NEAREST)
+        else:
+            mask = Image.fromarray(
+                random_mask_uint8(self.resolution)).convert("L")
+        img_np = np.asarray(img, np.float32) * 2 / 255 - 1
+        mask_np = (np.asarray(mask)[:, :, None] // 255).astype(np.float32)
+        x = np.concatenate([mask_np - 0.5, img_np * mask_np], axis=-1)
+        return x, img_np, mask_np, img_path.stem
+
+
+def load_detectors(args):
+    import jax
+    from ..evalx.inception import (inception_apply, inception_init,
+                                   import_inception_state_dict)
+    from ..evalx.lpips import lpips_apply, lpips_init, import_lpips_state_dict
+
+    if args.inception_weights:
+        from ..io.torch_import import load_torch_state_dict
+
+        inc_params = import_inception_state_dict(
+            load_torch_state_dict(args.inception_weights))
+    elif args.allow_random_detector:
+        print("WARNING: random Inception weights — FID is meaningless")
+        inc_params = inception_init(jax.random.PRNGKey(0))
+    else:
+        raise SystemExit("--inception-weights required "
+                         "(or --allow-random-detector for smoke tests)")
+
+    if args.lpips_weights:
+        from ..io.torch_import import load_torch_state_dict
+
+        lp_params = import_lpips_state_dict(
+            load_torch_state_dict(args.lpips_weights))
+    elif args.allow_random_detector:
+        print("WARNING: random LPIPS weights — LPIPS is meaningless")
+        lp_params = lpips_init(jax.random.PRNGKey(1))
+    else:
+        raise SystemExit("--lpips-weights required "
+                         "(or --allow-random-detector for smoke tests)")
+
+    inception = jax.jit(lambda x: inception_apply(inc_params, x))
+    lp = jax.jit(lambda a, b: lpips_apply(lp_params, a, b, normalize=True))
+    return inception, lp
+
+
+def main(argv=None):
+    args = get_args(argv)
+    np.random.seed(0)
+    random.seed(0)
+
+    import jax.numpy as jnp
+
+    from .demo import load_model
+    from ..data.sampler import DataLoader
+    from ..evalx.fid import fid_from_feature_arrays
+
+    forward, resolution = load_model(args.model_name, args.model_path,
+                                     args.dtype)
+    inception, lp = load_detectors(args)
+
+    ds = InferenceDataset(args.real_dir, args.mask_dir, resolution)
+    n = len(ds) if args.max_items is None else min(len(ds), args.max_items)
+    dl = DataLoader(ds, batch_size=args.batch_size,
+                    indices=range(n), num_workers=args.num_workers,
+                    drop_last=False)
+
+    print("Starting the inference... ")
+    lpips_vals = []
+    real_acts, fake_acts = [], []
+    for x, imgs, masks, names in dl:
+        x = jnp.asarray(x)
+        out = forward(x)
+        imgs_j = jnp.asarray(imgs)
+        masks_j = jnp.asarray(masks)
+        composed = masks_j * imgs_j + (1 - masks_j) * out
+        imgs01 = jnp.clip(imgs_j * 0.5 + 0.5, 0, 1)
+        comp01 = jnp.clip(composed * 0.5 + 0.5, 0, 1)
+        lpips_vals.extend(np.asarray(lp(imgs01, comp01)).tolist())
+        real_acts.append(np.asarray(inception(imgs01)))
+        fake_acts.append(np.asarray(inception(comp01)))
+
+    print("Calculating Frechet distance. Please wait... ")
+    fid_value = fid_from_feature_arrays(np.concatenate(real_acts),
+                                        np.concatenate(fake_acts))
+    print("FID:", fid_value)
+    print("LPIPS: ", float(np.mean(lpips_vals)))
+    return fid_value, float(np.mean(lpips_vals))
+
+
+if __name__ == "__main__":
+    main()
