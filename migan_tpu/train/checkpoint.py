@@ -1,0 +1,50 @@
+"""Checkpoint/resume via orbax — strictly richer than the reference pkls.
+
+The reference pickles whole modules {'G','D','G_ema'} and DROPS optimizer
+state (reference lib/experiments/migan_default.py:542-551, SURVEY.md §5.4).
+Here the full TrainState pytree (params_G/D/G_ema + Adam moments + step +
+nimg) round-trips, so resume is exact. Standalone weights (.npz) can be
+extracted for the demo/export CLIs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .train_step import TrainState
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save(ckpt_dir: str, step: int, state: TrainState) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, _to_host(state), force=True)
+    return path
+
+
+def restore(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path),
+                             item=_to_host(template))
+    return jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r),
+                                  template, restored)
+
+
+def latest(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, sorted(steps)[-1])

