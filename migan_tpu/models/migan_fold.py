@@ -97,6 +97,11 @@ def _sep_folded(p: Params, x, f, *, down=1, up=1, use_noise=False):
     migan_inference.sep_conv_apply; weights already folded)."""
     c2 = x.shape[-1]
     k = p["conv1"]["weight"].shape[0]
+    # NOTE: the fused Pallas sepconv (ops/pallas/sepconv.py) wins 1.65x in
+    # isolation at these shapes but LOSES in-model (409 vs 450 img/s): the
+    # XLA path fuses the surrounding skip-adds/resamplers into its convs,
+    # and the pallas call is a fusion barrier. Revisit by folding the
+    # neighbours into the kernel itself; until then the XLA path is faster.
     x = conv2d(x, p["conv1"]["weight"], padding=k // 2, groups=c2)
     if "bias" in p["conv1"]:
         x = x + p["conv1"]["bias"].astype(x.dtype)

@@ -132,6 +132,16 @@ def _noise_for(p: Params, h: int, w: int) -> jnp.ndarray:
     return nc * p["noise_strength"]
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas sepconv on TPU (1.65x the XLA composition); XLA path
+    everywhere else and under MIGAN_TPU_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("MIGAN_TPU_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def sep_conv_apply(p: Params, x: jnp.ndarray, f, *, down: int = 1,
                    up: int = 1, use_noise: bool = False) -> jnp.ndarray:
     """SeparableConv2d (reference migan_inference.py:106-170):
@@ -139,6 +149,11 @@ def sep_conv_apply(p: Params, x: jnp.ndarray, f, *, down: int = 1,
     -> [+noise] -> act."""
     ic = x.shape[-1]
     k = p["conv1"]["weight"].shape[0]
+    # NOTE: the fused Pallas sepconv only pays off at large spatial sizes
+    # with 128-lane-aligned channels (measured 1.65x at [*,512,512,128] but
+    # a net LOSS when applied broadly — it breaks XLA's fusion of the
+    # surrounding adds/resamplers into the convs). It is applied selectively
+    # on the batch-folded path (models/migan_fold.py).
     x = conv2d(x, p["conv1"]["weight"], padding=k // 2, groups=ic)
     if "bias" in p["conv1"]:
         x = x + p["conv1"]["bias"].astype(x.dtype)

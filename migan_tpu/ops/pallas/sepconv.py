@@ -56,28 +56,53 @@ def _act(x):
     return jnp.clip(x, -_CLAMP, _CLAMP)
 
 
+def _dma_for(x_hbm, scratch, sem, slot, j, *, M, SZ, tile, NHW):
+    """Async copy of tile j's window into scratch slot."""
+    lo = j * tile - M
+    src = pl.multiple_of(jnp.clip(lo, 0, NHW - SZ), 8)
+    # scratch[slot, p] corresponds to x[lo - M + p]; the DMA lands at
+    # dst = (src - lo) + M in [0, 2M], so clipped windows shift into the
+    # zeroed margins and out-of-array taps read zeros.
+    dst = pl.multiple_of(src - lo + M, 8)
+    return pltpu.make_async_copy(
+        x_hbm.at[pl.ds(src, SZ)], scratch.at[slot].at[pl.ds(dst, SZ)],
+        sem.at[slot])
+
+
 def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, noise_ref, out_ref,
             scratch, sem, *, tile: int, H: int, W: int, NHW: int,
             use_noise: bool):
     i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     # Margin rounded up to the sublane tiling (8) — Mosaic requires DMA
     # slice shapes/offsets aligned to it; the round-up also keeps every
     # tap slice start static.
     M = ((W + 1 + 7) // 8) * 8
     SZ = tile + 2 * M          # rows needed: [base - M, base + tile + M)
     base = i * tile
-    lo = base - M
-    src = pl.multiple_of(jnp.clip(lo, 0, NHW - SZ), 8)
-    # scratch[p] corresponds to x[lo - M + p]; the DMA lands at
-    # dst = (src - lo) + M in [0, 2M], so clipped windows shift into the
-    # zeroed margins and out-of-array taps read zeros.
-    dst = pl.multiple_of(src - lo + M, 8)
+    dma = lambda slot, j: _dma_for(x_hbm, scratch, sem, slot, j, M=M,
+                                   SZ=SZ, tile=tile, NHW=NHW)
 
-    scratch[...] = jnp.zeros_like(scratch)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(src, SZ)], scratch.at[pl.ds(dst, SZ)], sem)
-    copy.start()
-    copy.wait()
+    # Margins only matter for the first/last tiles (interior DMAs cover the
+    # full tap range); zero them once there instead of memsetting 2MB/tile.
+    @pl.when(i == 0)
+    def _():
+        scratch[0, 0:2 * M] = jnp.zeros((2 * M, scratch.shape[-1]),
+                                        scratch.dtype)
+        dma(0, 0).start()
+    @pl.when(i == n_tiles - 1)
+    def _():
+        slot = i % 2
+        scratch[slot, tile + 2 * M:tile + 4 * M] = jnp.zeros(
+            (2 * M, scratch.shape[-1]), scratch.dtype)
+
+    # double buffering: issue tile i+1's DMA before computing tile i
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    window = scratch.at[i % 2]
 
     C = scratch.shape[-1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + base
@@ -88,7 +113,7 @@ def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, noise_ref, out_ref,
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             start = 2 * M + dy * W + dx  # static
-            rows = scratch[start:start + tile, :]
+            rows = window[start:start + tile, :]
             mask = None
             if dy == -1:
                 mask = h > 0
@@ -161,13 +186,15 @@ def fused_sepconv(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
     M = ((W + 1 + 7) // 8) * 8
     # tile: divides H*W, at least W+2, bounded by a VMEM window budget
     tile = HW
-    budget = 1024 * 1024
+    budget = 2 * 1024 * 1024
     while tile > 2 * W and (tile + 4 * M) * C * x.dtype.itemsize > budget:
         tile //= 2
     assert HW % tile == 0 and NHW % tile == 0
 
-    if tile + 2 * M > NHW or tile % 8 or W % 8:
-        # array too small / unaligned for the windowing scheme — XLA path
+    if tile + 2 * M > NHW or tile % 8 or W % 8 or C % 128:
+        # array too small / lanes or sublanes unaligned — XLA path
+        # (C must fill 128 lanes for HBM DMA slicing; the batch-folded
+        # model path provides that at the C=64 stage, models/migan_fold.py)
         return _xla_sepconv(x, w_dw, b_dw, w_pw, noise)
 
     use_noise = noise is not None
@@ -197,8 +224,8 @@ def fused_sepconv(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NHW, O), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 4 * M, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile + 4 * M, C), x.dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x2d, w_dw.astype(x.dtype), b_dw.reshape(1, C).astype(x.dtype),
