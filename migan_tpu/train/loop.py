@@ -92,6 +92,59 @@ def _save_image_grid(batch_nhwc: np.ndarray, path: str, grid=(8, 6)):
     Image.fromarray(canvas.squeeze()).save(path)
 
 
+def _build_metric_ctx(cfg: Dict[str, Any]):
+    """Set up the FID-inpainting metric machinery
+    (reference migan_default.py:462-490 / metric_main registry) if the
+    experiment configures metrics and detector weights are available."""
+    cfgt = cfg["train"]
+    metrics = cfgt.get("metrics") or []
+    eval_cfg = cfg.get("eval") or {}
+    if not metrics or "dataset" not in eval_cfg:
+        return None
+    weights = eval_cfg.get("inception_weights")
+    if not weights or not osp.isfile(weights):
+        print_log("metrics configured but no inception_weights found — "
+                  "skipping metric evaluation (set eval.inception_weights)")
+        return None
+    import jax
+
+    from ..data.factory import get_dataset
+    from ..evalx.inception import inception_apply, import_inception_state_dict
+    from ..io.torch_import import load_torch_state_dict
+
+    params = import_inception_state_dict(load_torch_state_dict(weights))
+    detector = jax.jit(lambda x: inception_apply(params, x))
+    dataset = get_dataset(eval_cfg["dataset"])
+    return {"metrics": metrics, "detector": detector, "dataset": dataset,
+            "batch_size": eval_cfg.get("batch_size", 32)}
+
+
+def _run_metrics(cfg, state, g_cfg, ctx, log_dir) -> Optional[float]:
+    """Returns the first metric's FID (for best tracking)."""
+    import jax
+
+    from ..evalx import metrics as metric_main
+    from ..models.migan import generator_apply as g_apply
+
+    gen = jax.jit(lambda x: g_apply(state.params_G_ema, x, g_cfg,
+                                    noise_mode="const"))
+    fid_value = None
+    for name in ctx["metrics"]:
+        if not metric_main.is_valid_metric(name):
+            print_log(f"unknown metric {name!r}")
+            continue
+        result = metric_main.calc_metric(
+            name, dataset=ctx["dataset"], generator_fn=gen,
+            detector_fn=ctx["detector"], batch_size=ctx["batch_size"],
+            cache_dir=osp.join(log_dir, "fid-cache"),
+            dataset_tag=cfg.get("eval", {}).get("dataset", {}).get("name",
+                                                                   ""))
+        metric_main.report_metric(result, run_dir=log_dir)
+        if fid_value is None:
+            fid_value = result["results"].get("fid")
+    return fid_value
+
+
 def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     """Run training from a resolved experiment config dict."""
     import jax
@@ -159,6 +212,7 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     tick_start_time = time.time()
     start_time = tick_start_time
     best_metric = None
+    metric_ctx = _build_metric_ctx(cfg)
 
     ckpt_dir = osp.join(log_dir, "weight")
 
@@ -218,6 +272,16 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
                     log_dir, f"fakes{cur_nimg // 1000:06d}.png"))
             except Exception as e:  # pragma: no cover
                 print_log(f"image snapshot failed: {e}")
+
+        if (snapshot.get("evaluate") and metric_ctx is not None
+                and cur_tick % snapshot["evaluate"] == 0 and cur_tick > 0):
+            fid = _run_metrics(cfg, state, g_cfg, metric_ctx, log_dir)
+            if fid is not None and (best_metric is None
+                                    or fid < best_metric):
+                best_metric = fid   # reference is_better: lowest FID
+                path = ckpt.save(osp.join(ckpt_dir, "best"), batch_idx,
+                                 state)
+                print_log(f"new best FID {fid:.3f}: {path}")
 
         if snapshot.get("checkpoint") and (
                 cur_tick % snapshot["checkpoint"] == 0 or done):

@@ -1,0 +1,78 @@
+"""End-to-end train_stage smoke on the CPU mesh (tiny config, few steps)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from migan_tpu.train.loop import train_stage
+
+
+@pytest.fixture()
+def smoke_cfg(tmp_path):
+    droot = tmp_path / "data" / "train_256" / "a"
+    droot.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            droot / f"{i}.jpg")
+    return {
+        "env": {"rnd_seed": 0},
+        "model_g": {
+            "name": "smoke_g", "type": "migan_generator",
+            "args": {
+                "encoder": {"args": {"resolution": 32, "ic_n": 4,
+                                     "depthwise": True,
+                                     "reparametrize": True,
+                                     "num_reparam_tensors": 2}},
+                "synthesis": {"args": {"resolution": 32, "rgb_n": 3,
+                                       "depthwise": True,
+                                       "reparametrize": True,
+                                       "num_reparam_tensors": 2}},
+            },
+        },
+        "model_d": {
+            "name": "smoke_d", "type": "migan_discriminator",
+            "args": {"resolution": 32, "ic_n": 4, "depthwise": True,
+                     "reparametrize": True, "num_reparam_tensors": 2},
+        },
+        "train": {
+            "log_dir": str(tmp_path / "log"),
+            "dataset": {
+                "name": "smoke_ds", "type": "places2",
+                "root_dir": str(tmp_path / "data"),
+                "mode": "train256",
+                "loader": [{"type": "DefaultLoader", "args": {}}],
+                "formatter": {"type": "FreeFormMaskFormatter",
+                              "args": {"resolution": 32,
+                                       "random_flip": True,
+                                       "hole_range": [0.0, 1.0]}},
+            },
+            "batch_size": 8,
+            "dataset_num_workers": 2,
+            "loss_kwargs": {"r1_gamma": 10},
+            "g_opt_kwargs": {"lr": 1e-3, "betas": [0, 0.99], "eps": 1e-8},
+            "g_reg_interval": 4,
+            "d_opt_kwargs": {"lr": 1e-3, "betas": [0, 0.99], "eps": 1e-8},
+            "d_reg_interval": 2,
+            "total_kimg": 1,
+            "ema_kimg": 20,
+            "kimg_per_tick": 0.008,   # tick every step
+            "snapshot": {"image": 2, "checkpoint": 2, "evaluate": 1000},
+            "metrics": [],
+        },
+    }
+
+
+def test_train_stage_smoke(smoke_cfg):
+    state = train_stage(smoke_cfg, max_steps=3)
+    assert int(state.step) == 3
+    log_dir = smoke_cfg["train"]["log_dir"]
+    assert os.path.isfile(os.path.join(log_dir, "stats.jsonl"))
+    with open(os.path.join(log_dir, "stats.jsonl")) as f:
+        lines = f.readlines()
+    assert len(lines) >= 2
+    # checkpoint written at a tick boundary
+    wdir = os.path.join(log_dir, "weight")
+    assert os.path.isdir(wdir) and len(os.listdir(wdir)) >= 1
