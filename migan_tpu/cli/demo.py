@@ -48,7 +48,9 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32"):
     import jax.numpy as jnp
 
     if model_name in ("migan-256", "migan-512"):
-        from ..models.migan_inference import GeneratorConfig, generator_apply
+        from ..models.migan_inference import GeneratorConfig
+        from ..models.migan_fold import generator_apply_fast as \
+            generator_apply
 
         resolution = int(model_name.split("-")[1])
         cfg = GeneratorConfig(resolution=resolution)

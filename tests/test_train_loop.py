@@ -15,18 +15,18 @@ def smoke_cfg(tmp_path):
     droot.mkdir(parents=True)
     rng = np.random.RandomState(0)
     for i in range(8):
-        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
             droot / f"{i}.jpg")
     return {
         "env": {"rnd_seed": 0},
         "model_g": {
             "name": "smoke_g", "type": "migan_generator",
             "args": {
-                "encoder": {"args": {"resolution": 32, "ic_n": 4,
+                "encoder": {"args": {"resolution": 16, "ic_n": 4,
                                      "depthwise": True,
                                      "reparametrize": True,
                                      "num_reparam_tensors": 2}},
-                "synthesis": {"args": {"resolution": 32, "rgb_n": 3,
+                "synthesis": {"args": {"resolution": 16, "rgb_n": 3,
                                        "depthwise": True,
                                        "reparametrize": True,
                                        "num_reparam_tensors": 2}},
@@ -34,7 +34,7 @@ def smoke_cfg(tmp_path):
         },
         "model_d": {
             "name": "smoke_d", "type": "migan_discriminator",
-            "args": {"resolution": 32, "ic_n": 4, "depthwise": True,
+            "args": {"resolution": 16, "ic_n": 4, "depthwise": True,
                      "reparametrize": True, "num_reparam_tensors": 2},
         },
         "train": {
@@ -45,7 +45,7 @@ def smoke_cfg(tmp_path):
                 "mode": "train256",
                 "loader": [{"type": "DefaultLoader", "args": {}}],
                 "formatter": {"type": "FreeFormMaskFormatter",
-                              "args": {"resolution": 32,
+                              "args": {"resolution": 16,
                                        "random_flip": True,
                                        "hole_range": [0.0, 1.0]}},
             },

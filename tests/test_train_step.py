@@ -13,9 +13,9 @@ from migan_tpu.train.train_step import (
 from migan_tpu.train.loss import LossConfig, KDConfig
 from migan_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 
-CFG_G = MiganConfig(resolution=32, depthwise=True, reparametrize=True,
+CFG_G = MiganConfig(resolution=16, depthwise=True, reparametrize=True,
                     num_reparam_tensors=2)
-CFG_D = MiganConfig(resolution=32, depthwise=True, reparametrize=True,
+CFG_D = MiganConfig(resolution=16, depthwise=True, reparametrize=True,
                     num_reparam_tensors=2)
 TCFG = TrainConfig(batch_size=8,
                    g_opt=OptConfig(reg_interval=4),
@@ -23,7 +23,7 @@ TCFG = TrainConfig(batch_size=8,
                    loss=LossConfig(r1_gamma=10.0))
 
 
-def _batch(n=8, res=32, seed=0):
+def _batch(n=8, res=16, seed=0):
     rng = np.random.RandomState(seed)
     real = rng.rand(n, res, res, 3).astype(np.float32) * 2 - 1
     mask = (rng.rand(n, res, res, 1) > 0.4).astype(np.float32)
@@ -72,9 +72,9 @@ def test_train_step_with_kd_teacher():
     def fake_teacher(x, rng):
         outs = {}
         n = x.shape[0]
-        for res in (4, 8, 16, 32):
+        for res in (4, 8, 16):
             outs[res] = jnp.zeros((n, res, res, 3), x.dtype)
-        return outs[32], {"res_to_rgb": outs}
+        return outs[16], {"res_to_rgb": outs}
 
     tcfg = TrainConfig(batch_size=8, loss=LossConfig(
         r1_gamma=10.0, kd=KDConfig(start_resolution=8, weight=2.0)))
@@ -96,5 +96,5 @@ def test_train_step_on_8_device_mesh():
     new_state, stats = step(state, batch, jax.random.PRNGKey(1), do_dr1=True)
     assert np.isfinite(float(stats["Loss/G/loss"]))
     # params stay replicated
-    w = new_state.params_G["encoder"]["b32"]["conv1"]["conv1"]["w_stack"]
+    w = new_state.params_G["encoder"]["b16"]["conv1"]["conv1"]["w_stack"]
     assert w.sharding.is_fully_replicated
