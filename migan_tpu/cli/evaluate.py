@@ -46,6 +46,9 @@ def get_args(argv=None):
     p.add_argument("--lpips-weights", type=str, default=None)
     p.add_argument("--allow-random-detector", action="store_true")
     p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true", default=None,
+                   help="shard eval batches over all devices (default: on "
+                   "when more than one device is visible)")
     return p.parse_args(argv)
 
 
@@ -140,10 +143,36 @@ def main(argv=None):
                     indices=range(n), num_workers=args.num_workers,
                     drop_last=False)
 
+    # Data-parallel sharding: batches split over the device mesh; the jitted
+    # model/detector partition automatically (replaces the reference's
+    # multi-GPU DDP eval; scales to a v5e-8 slice unchanged).
+    import jax
+
+    use_dp = (args.data_parallel if args.data_parallel is not None
+              else jax.device_count() > 1)
+    shard = None
+    if use_dp:
+        from ..parallel.mesh import make_mesh, batch_sharding
+
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+        n_dev = jax.device_count()
+
+        def shard(a):
+            pad = (-a.shape[0]) % n_dev
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)]), pad
+                return jax.device_put(a[0], sharding), a[1]
+            return jax.device_put(a, sharding), 0
+
     print("Starting the inference... ")
     lpips_vals = []
     real_acts, fake_acts = [], []
     for x, imgs, masks, names in dl:
+        npad = 0
+        if shard is not None:
+            (x, npad), (imgs, _), (masks, _) = (shard(x), shard(imgs),
+                                                shard(masks))
         x = jnp.asarray(x)
         out = forward(x)
         imgs_j = jnp.asarray(imgs)
@@ -151,9 +180,14 @@ def main(argv=None):
         composed = masks_j * imgs_j + (1 - masks_j) * out
         imgs01 = jnp.clip(imgs_j * 0.5 + 0.5, 0, 1)
         comp01 = jnp.clip(composed * 0.5 + 0.5, 0, 1)
-        lpips_vals.extend(np.asarray(lp(imgs01, comp01)).tolist())
-        real_acts.append(np.asarray(inception(imgs01)))
-        fake_acts.append(np.asarray(inception(comp01)))
+        lp_b = np.asarray(lp(imgs01, comp01))
+        ra = np.asarray(inception(imgs01))
+        fa = np.asarray(inception(comp01))
+        if npad:  # drop the device-padding rows
+            lp_b, ra, fa = lp_b[:-npad], ra[:-npad], fa[:-npad]
+        lpips_vals.extend(lp_b.tolist())
+        real_acts.append(ra)
+        fake_acts.append(fa)
 
     print("Calculating Frechet distance. Please wait... ")
     fid_value = fid_from_feature_arrays(np.concatenate(real_acts),

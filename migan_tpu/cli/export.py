@@ -73,10 +73,11 @@ def main(argv=None):
     icfg = GeneratorConfig(resolution=args.resolution)
 
     img_paths = []
-    for ext in (".jpg", ".jpeg", ".png"):
-        img_paths += glob(os.path.join(str(args.origs_dir), "**", f"*{ext}"),
-                          recursive=True)
-    img_paths = sorted(img_paths)[: args.num_samples]
+    if args.num_samples > 0:  # 0 skips the (slow) dual-forward diff stat
+        for ext in (".jpg", ".jpeg", ".png"):
+            img_paths += glob(os.path.join(str(args.origs_dir), "**",
+                                           f"*{ext}"), recursive=True)
+        img_paths = sorted(img_paths)[: args.num_samples]
 
     print("Calculating diff statistic...")
     diff_sum = 0
