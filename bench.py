@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PER_CHIP = 2000.0 / 8.0  # north-star 2000 img/s on v5e-8
 
 
-def bench_migan512(batch_sizes=(8, 16, 32, 64), warmup=3, iters=10):
+def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     import jax
     import jax.numpy as jnp
     from migan_tpu.models.migan_inference import (

@@ -104,6 +104,24 @@ def test_comodgan_param_count_matches_baseline():
     assert learnable(params) == 79_177_378
 
 
+def test_comodgan_512_param_count():
+    """BASELINE.md: Co-Mod-GAN-512 generator = 79,792,231 params."""
+    cfg = CoModGANConfig(resolution=512)
+    assert cfg.num_ws == 16
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+
+    def learnable(tree):
+        n = 0
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                n += learnable(v)
+            elif k not in ("noise_const", "w_avg"):
+                n += int(np.prod(v.shape))
+        return n
+
+    assert learnable(params) == 79_792_231
+
+
 def test_mapping_truncation_and_parity():
     torch.manual_seed(1)
     ref = ref_sg.Mapping(num_ws=14)
