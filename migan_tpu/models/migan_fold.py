@@ -179,6 +179,12 @@ def generator_apply_fast(params: Params, x: jnp.ndarray,
     n = _noise_for(p_top["conv1"], t.shape[1], t.shape[2])
     t = ACT(t + n[None, :, :, None].astype(t.dtype))
 
+    # NOTE on pallas here: fused_block (ops/pallas/sepconv.py) wins 1.58x in
+    # isolation at exactly these shapes, but each XLA<->pallas boundary
+    # costs ~2 relayout passes (measured: solo 7.7 vs 12.2 ms, in-chain
+    # 20.8 vs 18.4 ms) — a single fused call in the middle of the stage
+    # nets a LOSS. Round-2 plan: run the whole stage as consecutive pallas
+    # calls so only the stage entry/exit pay the relayout.
     t = t + feat_f
     t = _sep_folded(p_st["conv2"], t, f, use_noise=True)
 

@@ -69,9 +69,26 @@ def _dma_for(x_hbm, scratch, sem, slot, j, *, M, SZ, tile, NHW):
         sem.at[slot])
 
 
-def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, noise_ref, out_ref,
-            scratch, sem, *, tile: int, H: int, W: int, NHW: int,
-            use_noise: bool):
+def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
+            has_skip: bool, has_pre: bool):
+    # positional refs layout (inputs, then out, then scratch):
+    #   x_hbm, [skip_hbm], [wpre, bpre], wdw, bdw, wpw, noise,
+    #   out_ref, x_scratch, x_sem, [s_scratch, s_sem]
+    it = iter(refs)
+    x_hbm = next(it)
+    skip_hbm = next(it) if has_skip else None
+    wpre_ref = next(it) if has_pre else None
+    bpre_ref = next(it) if has_pre else None
+    wdw_ref = next(it)
+    bdw_ref = next(it)
+    wpw_ref = next(it)
+    noise_ref = next(it)
+    out_ref = next(it)
+    scratch = next(it)
+    sem = next(it)
+    s_scratch = next(it) if has_skip else None
+    s_sem = next(it) if has_skip else None
+
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     # Margin rounded up to the sublane tiling (8) — Mosaic requires DMA
@@ -82,38 +99,67 @@ def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, noise_ref, out_ref,
     base = i * tile
     dma = lambda slot, j: _dma_for(x_hbm, scratch, sem, slot, j, M=M,
                                    SZ=SZ, tile=tile, NHW=NHW)
+    if has_skip:
+        sdma = lambda slot, j: _dma_for(skip_hbm, s_scratch, s_sem, slot, j,
+                                        M=M, SZ=SZ, tile=tile, NHW=NHW)
 
     # Margins only matter for the first/last tiles (interior DMAs cover the
     # full tap range); zero them once there instead of memsetting 2MB/tile.
     @pl.when(i == 0)
     def _():
-        scratch[0, 0:2 * M] = jnp.zeros((2 * M, scratch.shape[-1]),
-                                        scratch.dtype)
+        z = jnp.zeros((2 * M, scratch.shape[-1]), scratch.dtype)
+        scratch[0, 0:2 * M] = z
         dma(0, 0).start()
+        if has_skip:
+            s_scratch[0, 0:2 * M] = z
+            sdma(0, 0).start()
+
     @pl.when(i == n_tiles - 1)
     def _():
         slot = i % 2
-        scratch[slot, tile + 2 * M:tile + 4 * M] = jnp.zeros(
-            (2 * M, scratch.shape[-1]), scratch.dtype)
+        z = jnp.zeros((2 * M, scratch.shape[-1]), scratch.dtype)
+        scratch[slot, tile + 2 * M:tile + 4 * M] = z
+        if has_skip:
+            s_scratch[slot, tile + 2 * M:tile + 4 * M] = z
 
     # double buffering: issue tile i+1's DMA before computing tile i
     @pl.when(i + 1 < n_tiles)
     def _():
         dma((i + 1) % 2, i + 1).start()
+        if has_skip:
+            sdma((i + 1) % 2, i + 1).start()
 
     dma(i % 2, i).wait()
+    if has_skip:
+        sdma(i % 2, i).wait()
     window = scratch.at[i % 2]
 
-    C = scratch.shape[-1]
+    C_out_dw = wdw_ref.shape[-1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + base
     col = jax.lax.rem(ids, W)
     h = jax.lax.rem(jax.lax.div(ids, W), H)
 
-    acc = jnp.zeros((tile, C), jnp.float32)
+    # Optional fused prologue on the needed span [M, 3M + tile):
+    #   z = x (+ skip) [-> act(pw_pre + b_pre)]
+    z_span = None
+    if has_skip or has_pre:
+        span = window[M:3 * M + tile, :]
+        if has_skip:
+            span = span + s_scratch.at[i % 2][M:3 * M + tile, :]
+        if has_pre:
+            span = jnp.dot(span.astype(wpre_ref.dtype), wpre_ref[:],
+                           preferred_element_type=jnp.float32)
+            span = _act(span + bpre_ref[0].astype(jnp.float32))
+        z_span = span
+
+    acc = jnp.zeros((tile, C_out_dw), jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             start = 2 * M + dy * W + dx  # static
-            rows = window[start:start + tile, :]
+            if z_span is not None:
+                rows = z_span[start - M:start - M + tile, :]
+            else:
+                rows = window[start:start + tile, :]
             mask = None
             if dy == -1:
                 mask = h > 0
@@ -157,15 +203,36 @@ def _xla_sepconv(x, w_dw, b_dw, w_pw, noise):
     return _act(y)
 
 
+def _xla_block(x, w_dw, b_dw, w_pw, noise, skip, w_pre, b_pre):
+    """Unfused composition of the full fused-block semantics (oracle +
+    small-shape fallback)."""
+    if skip is not None:
+        x = x + skip
+    if w_pre is not None:
+        from ...ops import conv2d
+
+        if w_pre.ndim == 2:
+            w_pre = w_pre[None, None]
+        x = _act(conv2d(x, w_pre) + b_pre.astype(x.dtype))
+    return _xla_sepconv(x, w_dw, b_dw, w_pw, noise)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_sepconv(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
-                  w_pw: jnp.ndarray,
-                  noise: Optional[jnp.ndarray] = None,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Fused [dw3x3+b -> act -> pw1x1 (+noise) -> act], NHWC.
+def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
+                w_pw: jnp.ndarray,
+                noise: Optional[jnp.ndarray] = None,
+                skip: Optional[jnp.ndarray] = None,
+                w_pre: Optional[jnp.ndarray] = None,
+                b_pre: Optional[jnp.ndarray] = None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused [(+skip) -> (pw_pre+b -> act) -> dw3x3+b -> act -> pw1x1
+    (+noise) -> act], NHWC — one HBM pass for a whole sub-block.
 
     Args:
-        x: [N, H, W, C].
+        x: [N, H, W, Cin].
+        skip: optional [N, H, W, Cin] added to x first (skip connection).
+        w_pre/b_pre: optional fused pointwise prologue [Cin, C] / [C]
+            (e.g. fromrgb), with the model activation applied.
         w_dw: [3, 3, 1, C] HWIO depthwise weights (or [3, 3, C]).
         b_dw: [C] depthwise bias.
         w_pw: [1, 1, C, O] HWIO pointwise weights (or [C, O]).
@@ -174,28 +241,34 @@ def fused_sepconv(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
 
     Returns [N, H, W, O].
     """
-    N, H, W, C = x.shape
+    N, H, W, Cin = x.shape
     if w_dw.ndim == 4:
         w_dw = w_dw[:, :, 0, :]
     if w_pw.ndim == 4:
         w_pw = w_pw[0, 0]
+    if w_pre is not None and w_pre.ndim == 4:
+        w_pre = w_pre[0, 0]
+    C = w_dw.shape[-1]
     O = w_pw.shape[-1]
+    has_skip = skip is not None
+    has_pre = w_pre is not None
 
     HW = H * W
     NHW = N * HW
     M = ((W + 1 + 7) // 8) * 8
     # tile: divides H*W, at least W+2, bounded by a VMEM window budget
+    # (the budget covers every double-buffered window)
     tile = HW
-    budget = 2 * 1024 * 1024
-    while tile > 2 * W and (tile + 4 * M) * C * x.dtype.itemsize > budget:
+    budget = 2 * 1024 * 1024 // (2 if has_skip else 1)
+    while tile > 2 * W and (tile + 4 * M) * Cin * x.dtype.itemsize > budget:
         tile //= 2
     assert HW % tile == 0 and NHW % tile == 0
 
-    if tile + 2 * M > NHW or tile % 8 or W % 8 or C % 128:
+    if tile + 2 * M > NHW or tile % 8 or W % 8 or Cin % 128:
         # array too small / lanes or sublanes unaligned — XLA path
-        # (C must fill 128 lanes for HBM DMA slicing; the batch-folded
+        # (Cin must fill 128 lanes for HBM DMA slicing; the batch-folded
         # model path provides that at the C=64 stage, models/migan_fold.py)
-        return _xla_sepconv(x, w_dw, b_dw, w_pw, noise)
+        return _xla_block(x, w_dw, b_dw, w_pw, noise, skip, w_pre, b_pre)
 
     use_noise = noise is not None
     if noise is None:
@@ -203,31 +276,63 @@ def fused_sepconv(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
     else:
         noise_flat = noise.reshape(HW, 1).astype(x.dtype)
 
-    x2d = x.reshape(NHW, C)
     kernel = functools.partial(_kernel, tile=tile, H=H, W=W, NHW=NHW,
-                               use_noise=use_noise)
+                               use_noise=use_noise, has_skip=has_skip,
+                               has_pre=has_pre)
     nh_blocks = HW // tile
+
+    args = [x.reshape(NHW, Cin)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]   # x stays in HBM
+    if has_skip:
+        args.append(skip.reshape(NHW, Cin))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    if has_pre:
+        args += [w_pre.astype(x.dtype),
+                 b_pre.reshape(1, C).astype(x.dtype)]
+        in_specs += [
+            pl.BlockSpec((Cin, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    args += [w_dw.astype(x.dtype), b_dw.reshape(1, C).astype(x.dtype),
+             w_pw.astype(x.dtype), noise_flat]
+    in_specs += [
+        pl.BlockSpec((3, 3, C), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i % nh_blocks, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, tile + 4 * M, Cin), x.dtype),  # double-buffered
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_skip:
+        scratch_shapes += [
+            pltpu.VMEM((2, tile + 4 * M, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     out2d = pl.pallas_call(
         kernel,
         grid=(NHW // tile,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-            pl.BlockSpec((3, 3, C), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i % nh_blocks, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, O), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NHW, O), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile + 4 * M, C), x.dtype),  # double-buffered
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(x2d, w_dw.astype(x.dtype), b_dw.reshape(1, C).astype(x.dtype),
-      w_pw.astype(x.dtype), noise_flat)
+    )(*args)
     return out2d.reshape(N, H, W, O)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_sepconv(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
+                  w_pw: jnp.ndarray,
+                  noise: Optional[jnp.ndarray] = None,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused [dw3x3+b -> act -> pw1x1 (+noise) -> act] (fused_block without
+    prologue)."""
+    return fused_block(x, w_dw, b_dw, w_pw, noise=noise,
+                       interpret=interpret)
