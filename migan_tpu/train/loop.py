@@ -216,12 +216,21 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
 
     ckpt_dir = osp.join(log_dir, "weight")
 
+    drew_init = False
     done = False
     for x, mask, _uid in loader:
         batch = {
             "real": jnp.asarray(x),
             "mask": jnp.asarray(mask[..., None]),
         }
+        if not drew_init:
+            # init grids (reference draw_functor isinit branch,
+            # migan_default.py:99-129: reals / masks / erased sheets)
+            drew_init = True
+            m = mask[..., None]
+            _save_image_grid(x, osp.join(log_dir, "reals.png"))
+            _save_image_grid(m * 2 - 1, osp.join(log_dir, "masks.png"))
+            _save_image_grid(x * m, osp.join(log_dir, "erased.png"))
         batch = shard_batch(batch, mesh)
         key, k_step = jax.random.split(key)
         do_dr1 = (d_reg_interval > 0 and batch_idx % d_reg_interval == 0)
