@@ -13,7 +13,7 @@ All image tensors NHWC float.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax

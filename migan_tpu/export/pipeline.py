@@ -21,8 +21,8 @@ image.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

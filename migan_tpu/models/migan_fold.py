@@ -24,9 +24,8 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax
+
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import conv2d, upsample2d, downsample2d
 from .migan_inference import (

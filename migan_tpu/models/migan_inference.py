@@ -132,16 +132,6 @@ def _noise_for(p: Params, h: int, w: int) -> jnp.ndarray:
     return nc * p["noise_strength"]
 
 
-def _use_pallas() -> bool:
-    """Fused Pallas sepconv on TPU (1.65x the XLA composition); XLA path
-    everywhere else and under MIGAN_TPU_NO_PALLAS=1."""
-    import os
-
-    if os.environ.get("MIGAN_TPU_NO_PALLAS") == "1":
-        return False
-    return jax.default_backend() == "tpu"
-
-
 def sep_conv_apply(p: Params, x: jnp.ndarray, f, *, down: int = 1,
                    up: int = 1, use_noise: bool = False) -> jnp.ndarray:
     """SeparableConv2d (reference migan_inference.py:106-170):

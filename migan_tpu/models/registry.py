@@ -10,7 +10,7 @@ nn.Module, you get a ModelHandle with `init(key) -> params` and
 
 from __future__ import annotations
 
-import math
+
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 

@@ -18,7 +18,7 @@ concat([mask - 0.5, image]) (reference loss.py:161-164).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

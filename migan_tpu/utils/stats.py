@@ -15,7 +15,7 @@ reporting. Host-side accumulation is plain numpy.
 from __future__ import annotations
 
 import re
-import time
+
 from typing import Dict, Optional
 
 import numpy as np
