@@ -159,11 +159,12 @@ def main(argv=None):
         n_dev = jax.device_count()
 
         def shard(a):
+            """Pad the batch to a device multiple and shard it; returns
+            (sharded array, pad rows to drop from per-item results)."""
             pad = (-a.shape[0]) % n_dev
             if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)]), pad
-                return jax.device_put(a[0], sharding), a[1]
-            return jax.device_put(a, sharding), 0
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            return jax.device_put(a, sharding), pad
 
     print("Starting the inference... ")
     lpips_vals = []
