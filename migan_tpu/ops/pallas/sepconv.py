@@ -282,10 +282,10 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
     nh_blocks = HW // tile
 
     args = [x.reshape(NHW, Cin)]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]   # x stays in HBM
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]   # x stays in HBM
     if has_skip:
         args.append(skip.reshape(NHW, Cin))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if has_pre:
         args += [w_pre.astype(x.dtype),
                  b_pre.reshape(1, C).astype(x.dtype)]
