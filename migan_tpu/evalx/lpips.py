@@ -93,23 +93,30 @@ def lpips_apply(params: Params, img0: jnp.ndarray, img1: jnp.ndarray, *,
 def import_lpips_state_dict(sd: Mapping[str, np.ndarray]) -> Params:
     """lpips.LPIPS(net='alex').state_dict() -> params.
 
-    Expects keys 'net.slice{1..5}.<idx>.weight/bias' (AlexNet convs) and
-    'lin{0..4}.model.1.weight' (1x1 heads)."""
+    Expects keys 'net.slice{1..5}.<idx>.weight/bias' (AlexNet convs, the
+    <idx> being the original torchvision features index) and
+    'lin{0..4}.model.1.weight' (1x1 heads). Key order is irrelevant — convs
+    are collected by their features index and mapped to conv0..4 in index
+    order. scaling_layer buffers (hardcoded here) are ignored."""
+    convs: Dict[int, Dict[str, np.ndarray]] = {}
     params: Params = {}
-    conv_i = 0
-    for k in sorted(sd.keys()):
-        v = np.asarray(sd[k])
-        if ".weight" in k and k.startswith("net.") and v.ndim == 4:
-            params[f"conv{conv_i}"] = {
-                "weight": jnp.asarray(np.transpose(v, (2, 3, 1, 0)))}
-        elif ".bias" in k and k.startswith("net."):
-            params[f"conv{conv_i}"]["bias"] = jnp.asarray(v)
-            conv_i += 1
+    for k, raw in sd.items():
+        v = np.asarray(raw)
+        if k.startswith("net.slice") and (k.endswith(".weight")
+                                          or k.endswith(".bias")):
+            idx = int(k.split(".")[2])
+            convs.setdefault(idx, {})[k.rsplit(".", 1)[1]] = v
         elif k.startswith("lin") and k.endswith(".weight"):
-            i = int(k[3])
+            i = int(k.split(".", 1)[0][3:])
             params[f"lin{i}"] = {
                 "weight": jnp.asarray(np.transpose(v, (2, 3, 1, 0)))}
-    assert conv_i == 5, f"expected 5 alexnet convs, got {conv_i}"
+    assert len(convs) == 5, f"expected 5 alexnet convs, got {sorted(convs)}"
+    for conv_i, idx in enumerate(sorted(convs)):
+        f = convs[idx]
+        params[f"conv{conv_i}"] = {
+            "weight": jnp.asarray(np.transpose(f["weight"], (2, 3, 1, 0))),
+            "bias": jnp.asarray(f["bias"]),
+        }
     for i in range(5):
         assert f"lin{i}" in params, f"missing lin{i} head"
     return params
