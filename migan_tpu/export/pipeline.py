@@ -31,8 +31,12 @@ from jax import lax
 
 
 def _gaussian_kernel(ksize: int = 5, sigma: float = 1.0) -> np.ndarray:
+    # NOTE: reproduces the reference's GaussianSmoothing formula verbatim
+    # (create_onnx_pipeline.py:81-87), which is exp(-((x-mean)/(2*sigma))**2)
+    # — an effective stddev of sigma*sqrt(2), NOT the textbook
+    # exp(-x^2/(2*sigma^2)). The numerics are the parity spec.
     ax = np.arange(ksize) - (ksize - 1) / 2.0
-    g = np.exp(-(ax ** 2) / (2 * sigma ** 2))
+    g = np.exp(-((ax / (2.0 * sigma)) ** 2))
     k = np.outer(g, g)
     return (k / k.sum()).astype(np.float32)
 
@@ -114,9 +118,12 @@ def _crop_resize(img: jnp.ndarray, box, out_hw: Tuple[int, int],
     x_min, x_max, y_min, y_max = [b.astype(jnp.float32) for b in box]
     scale = jnp.stack([oh / (y_max - y_min), ow / (x_max - x_min)])
     translation = jnp.stack([-y_min * scale[0], -x_min * scale[1]])
+    # antialias=False matches the reference's torch bilinear resize
+    # (tvF.resize / F.interpolate default), keeping the generator input
+    # numerically aligned when the crop downscales.
     return jax.image.scale_and_translate(
         img.astype(jnp.float32), (img.shape[0], oh, ow, img.shape[3]),
-        (1, 2), scale, translation, method=method)
+        (1, 2), scale, translation, method=method, antialias=False)
 
 
 def _paste_resize(small: jnp.ndarray, box, out_hw: Tuple[int, int],
@@ -131,7 +138,7 @@ def _paste_resize(small: jnp.ndarray, box, out_hw: Tuple[int, int],
     translation = jnp.stack([y_min, x_min])
     return jax.image.scale_and_translate(
         small, (small.shape[0], H, W, small.shape[3]), (1, 2), scale,
-        translation, method=method)
+        translation, method=method, antialias=False)
 
 
 def make_pipeline(generator_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -150,6 +157,11 @@ def make_pipeline(generator_fn: Callable[[jnp.ndarray], jnp.ndarray],
         # crop + resize to model res (bilinear image / nearest mask —
         # reference preprocess, create_onnx_pipeline.py:233-239)
         img_s = _crop_resize(image, box, (resolution, resolution), "linear")
+        # The reference resizes the uint8 image tensor, which rounds back to
+        # uint8 *before* normalization (tvF.resize on uint8,
+        # create_onnx_pipeline.py:233-236); match that quantization so the
+        # generator sees identical inputs.
+        img_s = jnp.round(jnp.clip(img_s, 0.0, 255.0))
         mask_s = _crop_resize(mask, box, (resolution, resolution),
                               "nearest")
         img_n = img_s * (2.0 / 255.0) - 1.0

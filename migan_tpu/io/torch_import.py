@@ -75,6 +75,32 @@ def import_migan_inference(
     return params
 
 
+def export_migan_inference(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_migan_inference`: our inference pytree ->
+    the learnable subset of a reference `migan_inference.Generator`
+    state_dict in torch layouts (conv weights HWIO -> OIHW).
+
+    The reference module additionally registers fixed resampling buffers
+    (``*.filter.weight`` / ``*.filter_const``, reference
+    lib/model_zoo/migan_inference.py:58-103) that this framework computes in
+    ops; to build a loadable .pt, merge this dict over a freshly constructed
+    reference model's own state_dict (which carries those constants)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            elif k == "weight":
+                out[key] = np.transpose(np.asarray(v), (3, 2, 0, 1))
+            else:  # bias / noise_const / noise_strength
+                out[key] = np.asarray(v)
+
+    walk(params)
+    return out
+
+
 def import_migan_train(
     state_dict: Mapping[str, np.ndarray],
 ) -> Dict[str, Any]:

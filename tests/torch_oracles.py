@@ -313,6 +313,115 @@ class TorchLPIPSAlex(nn.Module):
         return total
 
 
+# ---------------------------------------------------------------------------
+# MIGAN app pipeline (reference scripts/create_onnx_pipeline.py:119-264)
+# ---------------------------------------------------------------------------
+
+class TorchPipelineOracle(nn.Module):
+    """The reference MIGAN_Pipeline's tensor math, verbatim, with the
+    torchvision calls (absent in this image) replaced by their documented
+    F.interpolate equivalents:
+
+      tvF.resize(x_u8, s, BILINEAR) == round+clamp of
+          F.interpolate(x_f32, s, mode='bilinear', align_corners=False)
+          cast back to the input dtype (uint8 path quantizes);
+      tvF.resize(x, s, NEAREST)     == F.interpolate(x, s, mode='nearest').
+
+    Takes an already-constructed generator (the reference's
+    migan_inference.Generator loaded from the same .pt under test).
+    """
+
+    def __init__(self, model, resolution, padding=128):
+        super().__init__()
+        self.model = model.eval()
+        self.res = resolution
+        self.padding = padding
+        k = cv2_gaussian_kernel_5x1()
+        self.register_buffer("blur_w", k)
+
+    @staticmethod
+    def _resize_bilinear_u8(x_u8, size):
+        y = F.interpolate(x_u8.to(torch.float32), size=size, mode="bilinear",
+                          align_corners=False)
+        return y.clamp(0, 255).round().to(x_u8.dtype)
+
+    def get_masked_bbox(self, mask):
+        # mirror of reference :132-231 with static h/w
+        h, w = mask.shape[2], mask.shape[3]
+        m = mask.squeeze().to(torch.float32)
+        xx = m.mean(dim=0)
+        yy = m.mean(dim=1)
+        w_idx = torch.arange(w, dtype=torch.int64)
+        h_idx = torch.arange(h, dtype=torch.int64)
+        xm = w_idx[xx < 255.0]
+        ym = h_idx[yy < 255.0]
+        x_min = torch.cat([xm, torch.tensor([w])]).min()
+        x_max = torch.cat([xm, torch.tensor([0])]).max()
+        y_min = torch.cat([ym, torch.tensor([h])]).min()
+        y_max = torch.cat([ym, torch.tensor([0])]).max()
+        x_min, x_max = torch.minimum(x_min, x_max), torch.maximum(x_min, x_max)
+        y_min, y_max = torch.minimum(y_min, y_max), torch.maximum(y_min, y_max)
+
+        cnt_x = (x_min + x_max) // 2
+        cnt_y = (y_min + y_max) // 2
+        crop = torch.maximum(x_max - x_min, y_max - y_min) + 2 * self.padding
+        crop = torch.clamp(crop, min=self.res)
+        off = crop // 2
+        x_min = (cnt_x - off).clamp(min=0)
+        x_max = (cnt_x + off).clamp(max=w)
+        y_min = (cnt_y - off).clamp(min=0)
+        y_max = (cnt_y + off).clamp(max=h)
+        x_ex = (crop - (x_max - x_min)).clamp(min=0)
+        y_ex = (crop - (y_max - y_min)).clamp(min=0)
+        x_min = (x_min - x_ex).clamp(min=0)
+        x_max = (x_max + x_ex).clamp(max=w)
+        y_min = (y_min - y_ex).clamp(min=0)
+        y_max = (y_max + y_ex).clamp(max=h)
+        return x_min, x_max, y_min, y_max
+
+    def _blur(self, x):
+        xp = F.pad(x, (2, 2, 2, 2), mode="reflect")
+        return F.conv2d(xp, self.blur_w.to(x.dtype))
+
+    def forward(self, image, mask):
+        """image [1,3,H,W] uint8, mask [1,1,H,W] uint8 (255=known)."""
+        x_min, x_max, y_min, y_max = self.get_masked_bbox(mask)
+        img_c = image[:, :, y_min:y_max, x_min:x_max]
+        msk_c = mask[:, :, y_min:y_max, x_min:x_max]
+        # preprocess (:233-239)
+        img_s = self._resize_bilinear_u8(img_c, (self.res, self.res))
+        msk_s = F.interpolate(msk_c.to(torch.float32),
+                              size=(self.res, self.res), mode="nearest")
+        img_n = img_s.to(torch.float32) * 2 / 255 - 1
+        msk_n = msk_s / 255
+        x = torch.cat([msk_n - 0.5, img_n * msk_n], dim=1)
+        with torch.no_grad():
+            out = self.model(x)
+        # postprocess (:241-250)
+        out = ((out * 0.5 + 0.5) * 255).clamp(0, 255)
+        out = F.interpolate(out, size=(img_c.size(2), img_c.size(3)),
+                            mode="bilinear", align_corners=False)
+        m = F.max_pool2d(msk_c.to(torch.float32), 3, stride=1, padding=1)
+        m = self._blur(m) / 255
+        composed = img_c.to(torch.float32) * m + out * (1 - m)
+        composed = composed.clamp(0, 255).to(torch.uint8)
+        result = image.clone()
+        result[:, :, y_min:y_max, x_min:x_max] = composed
+        return result
+
+
+def cv2_gaussian_kernel_5x1():
+    """The reference GaussianSmoothing(k=5, sigma=1) weight, built with the
+    reference's own formula exp(-((x-mean)/(2*sigma))**2) — note the 2*sigma
+    in the denominator inside the square (create_onnx_pipeline.py:81-87)."""
+    import math
+    ax = torch.arange(5, dtype=torch.float32) - 2.0
+    g = 1 / (1.0 * math.sqrt(2 * math.pi)) * torch.exp(-((ax / 2.0) ** 2))
+    k = torch.outer(g, g)
+    k = k / k.sum()
+    return k.view(1, 1, 5, 5)
+
+
 def randomize_lpips_(model, seed=0):
     g = torch.Generator().manual_seed(seed)
     for name, m in model.named_modules():
