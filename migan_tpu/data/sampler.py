@@ -97,9 +97,15 @@ class DataLoader:
             yield batch
 
     def __iter__(self):
+        """Yields batches in deterministic index order regardless of worker
+        scheduling: workers tag each batch with its sequence number and the
+        consumer reorders through a small pending buffer (bounded by
+        prefetch + num_workers items), so two runs with the same seed
+        produce identical batch streams — matching the reference's fully
+        deterministic seeded eval protocol."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
-        batch_iter = self._index_batches()
+        batch_iter = enumerate(self._index_batches())
         lock = threading.Lock()
 
         def next_batch():
@@ -108,25 +114,34 @@ class DataLoader:
 
         def worker():
             while not stop.is_set():
-                idxs = next_batch()
-                if idxs is None:
+                job = next_batch()
+                if job is None:
                     q.put(None)
                     return
+                seq, idxs = job
                 items = [self.dataset[i] for i in idxs]
-                q.put(collate(items))
+                q.put((seq, collate(items)))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         finished = 0
+        next_seq = 0
+        pending = {}
         try:
-            while finished < self.num_workers:
+            while True:
+                while next_seq in pending:
+                    yield pending.pop(next_seq)
+                    next_seq += 1
+                if finished == self.num_workers:
+                    break  # all produced batches have been yielded in order
                 item = q.get()
                 if item is None:
                     finished += 1
                     continue
-                yield item
+                seq, batch = item
+                pending[seq] = batch
         finally:
             stop.set()
             # drain so workers blocked on put() can exit

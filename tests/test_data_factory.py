@@ -93,6 +93,40 @@ def test_dataloader_threads(places2_dir):
     assert len(uids) == 2
 
 
+class _SlowDataset:
+    """Items take staggered time so multi-worker completion is out of order
+    unless the loader reorders."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import time
+
+        time.sleep(0.002 * ((i * 7) % 5))
+        return (np.array([i]), f"u{i}")
+
+
+def test_dataloader_deterministic_order():
+    """Two runs with the same inputs yield identical batch streams, equal to
+    the single-worker stream (sequence-numbered reorder buffer)."""
+    ds = _SlowDataset(40)
+
+    def stream(workers):
+        dl = DataLoader(ds, batch_size=4, num_workers=workers,
+                        drop_last=True)
+        return [tuple(b[1]) for b in dl]
+
+    s_par_1 = stream(4)
+    s_par_2 = stream(4)
+    s_seq = stream(1)
+    assert s_par_1 == s_par_2 == s_seq
+    assert len(s_seq) == 10
+
+
 def test_infinite_sampler():
     it = iter(InfiniteSampler(4, seed=0))
     seen = [next(it) for _ in range(10)]

@@ -16,19 +16,20 @@ from migan_tpu.models.migan_inference import (
 REF = "/root/reference"
 
 
-def test_param_count_matches_reference_256():
-    """BASELINE.md: MI-GAN-256 inference generator = 5,943,617 params
-    (measured on reference migan_inference.py:355). Our count excludes the
-    reference's fixed filter buffers (not learnable, recomputed in ops) but
-    includes noise_const buffers, mirroring what state_dict import carries."""
-    cfg = GeneratorConfig(resolution=256)
+@pytest.mark.parametrize("res,expected", [(256, 6_040_225), (512, 6_592_166)])
+def test_param_count_matches_reference(res, expected):
+    """Exact count vs BASELINE.md's measured reference numbers.
+
+    Reference nn.Parameter counts are 5,943,617 (256) / 5,973,366 (512)
+    (migan_inference.py:355). Our pytree excludes the reference's fixed
+    filter conv weights (78,112 / 80,208 elements — not learnable,
+    recomputed in ops) and includes the noise_const buffers (174,720 /
+    699,008 elements — the reference registers them as buffers, we carry
+    them as leaves). expected = ref_params - filter_params + noise_const,
+    verified against the reference model directly."""
+    cfg = GeneratorConfig(resolution=res)
     params = generator_init(jax.random.PRNGKey(0), cfg)
-    n = count_params(params)
-    # Reference param count (5,943,617) counts nn.Parameters, which include
-    # the fixed filter conv weights. Compute the expected count for ours:
-    # reference params - fixed filter weights. Instead assert via import test
-    # below; here just sanity-bound the size.
-    assert 5_000_000 < n < 7_000_000
+    assert count_params(params) == expected
 
 
 def test_forward_shapes_and_fully_convolutional():
