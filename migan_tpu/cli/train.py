@@ -16,8 +16,9 @@ import os
 import os.path as osp
 import shutil
 
-from ..utils.config import (ConfigBanks, cfg_to_debug, get_experiment_id,
-                            split_batch, cfg_unique_holder)
+from ..utils.config import (ConfigBanks, apply_overrides, cfg_to_debug,
+                            get_experiment_id, split_batch,
+                            cfg_unique_holder)
 from ..utils.logging import print_log, set_log_file
 
 
@@ -31,6 +32,19 @@ def get_args(argv=None):
     p.add_argument("--resume-path", type=str, default=None)
     p.add_argument("--max-steps", type=int, default=None,
                    help="stop after N optimizer steps (smoke runs)")
+    p.add_argument("--model-g", type=str, default=None,
+                   help="swap model_g from the model bank "
+                        "(reference --model capability)")
+    p.add_argument("--model-d", type=str, default=None,
+                   help="swap model_d from the model bank")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="swap train.dataset (and eval.dataset if present) "
+                        "from the dataset bank")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="PATH=VALUE",
+                   help="override any config path, YAML-parsed value "
+                        "(e.g. --set train.g_opt_kwargs.lr=1e-4); "
+                        "repeatable")
     return p.parse_args(argv)
 
 
@@ -85,6 +99,19 @@ def main(argv=None):
     args = get_args(argv)
     banks = ConfigBanks(args.config_root)
     cfg = banks.experiment(args.experiment)
+    # subtree swaps from the banks (reference --model/--dataset,
+    # cfg_helper.py:308-319), then dotted-path --set overrides last.
+    if args.model_g:
+        cfg["model_g"] = banks.model(args.model_g)
+    if args.model_d:
+        cfg["model_d"] = banks.model(args.model_d)
+    if args.dataset:
+        ds = banks.dataset(args.dataset)
+        if "train" in cfg:
+            cfg["train"]["dataset"] = ds
+        if "eval" in cfg:
+            cfg["eval"]["dataset"] = ds
+    apply_overrides(cfg, args.overrides)
     cfg = cfg_initiates(cfg, args)
     cfg_unique_holder().save_cfg(cfg)
 

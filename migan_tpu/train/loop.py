@@ -92,6 +92,44 @@ def _save_image_grid(batch_nhwc: np.ndarray, path: str, grid=(8, 6)):
     Image.fromarray(canvas.squeeze()).save(path)
 
 
+def _resource_stats() -> Dict[str, float]:
+    """Host RSS + device memory telemetry (reference Resources/* stats,
+    migan_default.py:444-448). Device stats come from PJRT memory_stats()
+    when the backend reports them (TPU does; CPU returns nothing)."""
+    import jax
+
+    out: Dict[str, float] = {}
+    try:
+        import psutil
+
+        out["Resources/cpu_mem_gb"] = (
+            psutil.Process(os.getpid()).memory_info().rss / 2 ** 30)
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in ms:
+            out["Resources/peak_device_mem_gb"] = (
+                ms["peak_bytes_in_use"] / 2 ** 30)
+        if "bytes_in_use" in ms:
+            out["Resources/device_mem_gb"] = ms["bytes_in_use"] / 2 ** 30
+    except Exception:  # pragma: no cover
+        pass
+    return out
+
+
+def _make_tb_writer(log_dir: str):
+    """TensorBoard scalar sink (reference migan_default.py:578-585);
+    jsonl remains the primary sink, TB is best-effort."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=log_dir)
+    except Exception as e:  # pragma: no cover
+        print_log(f"tensorboard unavailable ({e}); jsonl only")
+        return None
+
+
 def _build_metric_ctx(cfg: Dict[str, Any]):
     """Set up the FID-inpainting metric machinery
     (reference migan_default.py:462-490 / metric_main registry) if the
@@ -204,6 +242,7 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     snapshot = cfgt.get("snapshot", {})
     collector = training_stats.default_collector()
     stats_jsonl = open(osp.join(log_dir, "stats.jsonl"), "at")
+    tb = _make_tb_writer(log_dir)
 
     cur_nimg = int(state.nimg)
     batch_idx = int(state.step)
@@ -250,6 +289,7 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         # ---- tick maintenance (reference migan_default.py:429-585) -------
         tick_time = time.time() - tick_start_time
         collector.update()
+        resources = _resource_stats()
         fields = {
             "tick": cur_tick,
             "kimg": round(cur_nimg / 1000.0, 1),
@@ -262,29 +302,48 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         line += "  " + "  ".join(
             f"{k.split('/', 1)[1]} {collector.mean(k):.3f}"
             for k in sorted(loss_keys)[:6])
+        if "Resources/cpu_mem_gb" in resources:
+            line += f"  cpumem {resources['Resources/cpu_mem_gb']:.2f}g"
+        if "Resources/peak_device_mem_gb" in resources:
+            line += (f"  devmem "
+                     f"{resources['Resources/peak_device_mem_gb']:.2f}g")
         print_log(line)
         stats_jsonl.write(json.dumps(
-            {**fields, **collector.as_dict()}) + "\n")
+            {**fields, **collector.as_dict(), **resources}) + "\n")
         stats_jsonl.flush()
+        if tb is not None:
+            for k in collector.names():
+                tb.add_scalar(k, collector.mean(k), cur_nimg)
+            for k, v in resources.items():
+                tb.add_scalar(k, v, cur_nimg)
+            tb.flush()
 
         if snapshot.get("image") and (cur_tick % snapshot["image"] == 0):
             try:
                 from ..models.migan import generator_apply as g_apply
 
+                real = np.asarray(batch["real"])
+                m = np.asarray(batch["mask"])
                 demo = np.asarray(g_apply(
                     state.params_G_ema,
-                    np.concatenate([np.asarray(batch["mask"]) - 0.5,
-                                    np.asarray(batch["real"])
-                                    * np.asarray(batch["mask"])], axis=-1),
+                    np.concatenate([m - 0.5, real * m], axis=-1),
                     g_cfg, noise_mode="const"))
-                _save_image_grid(demo, osp.join(
-                    log_dir, f"fakes{cur_nimg // 1000:06d}.png"))
+                tag = f"{cur_nimg // 1000:06d}"
+                _save_image_grid(demo,
+                                 osp.join(log_dir, f"fakes{tag}.png"))
+                # composited sheet (reference draw_functor's *_combined,
+                # migan_default.py:52-129): known pixels from the real,
+                # hole filled by the generator
+                _save_image_grid(real * m + demo * (1 - m), osp.join(
+                    log_dir, f"fakes{tag}_combined.png"))
             except Exception as e:  # pragma: no cover
                 print_log(f"image snapshot failed: {e}")
 
         if (snapshot.get("evaluate") and metric_ctx is not None
                 and cur_tick % snapshot["evaluate"] == 0 and cur_tick > 0):
             fid = _run_metrics(cfg, state, g_cfg, metric_ctx, log_dir)
+            if fid is not None and tb is not None:
+                tb.add_scalar("Metrics/fid", fid, cur_nimg)
             if fid is not None and (best_metric is None
                                     or fid < best_metric):
                 best_metric = fid   # reference is_better: lowest FID
@@ -304,4 +363,6 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             break
 
     stats_jsonl.close()
+    if tb is not None:
+        tb.close()
     return state

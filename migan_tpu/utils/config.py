@@ -193,6 +193,47 @@ def split_batch(cfg_section: Dict[str, Any], device_count: int) -> None:
         cfg_section["batch_size_per_device"] = bs // device_count
 
 
+def apply_overrides(cfg: Dict[str, Any], assignments) -> Dict[str, Any]:
+    """Arbitrary-key CLI overrides: ``--set a.b.c=value`` (repeatable).
+
+    Generalizes the reference's fixed-flag override layer
+    (reference lib/cfg_helper.py:269-380) to any config path. Values are
+    YAML-parsed (``1e-4`` -> float, ``[0,0.99]`` -> list, ``null`` -> None);
+    integer path segments index lists; missing intermediate dicts are
+    created.
+    """
+    for a in assignments or []:
+        path, sep, raw = a.partition("=")
+        if not sep:
+            raise ValueError(f"override {a!r} must look like path.to.key=value")
+        val = yaml.safe_load(raw) if raw != "" else None
+        if isinstance(val, str):
+            # YAML 1.1 won't parse '1e-4' as a float (needs '1.0e-4');
+            # fall back to Python numeric parsing for bare numbers.
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+        parts = [p.strip() for p in path.strip().split(".") if p.strip()]
+        if not parts:
+            raise ValueError(f"override {a!r} has an empty path")
+        node = cfg
+        for p in parts[:-1]:
+            if isinstance(node, list):
+                node = node[int(p)]
+            else:
+                node = node.setdefault(p, {})
+        last = parts[-1]
+        if isinstance(node, list):
+            node[int(last)] = val
+        else:
+            node[last] = val
+    return cfg
+
+
 class cfg_unique_holder:
     """Global config singleton (reference lib/cfg_holder.py:18-32)."""
 

@@ -71,3 +71,29 @@ def test_cfg_to_debug(banks):
     cfg = cfg_to_debug(cfg)
     assert cfg["train"]["experiment_id"] == 999999999999
     assert cfg["train"]["batch_size_per_device"] == 2
+
+
+def test_apply_overrides():
+    """Dotted-path --set overrides, YAML-parsed values, list indexing,
+    intermediate-dict creation (cfg_helper.py:269-380 capability)."""
+    from migan_tpu.utils.config import apply_overrides
+
+    cfg = {"train": {"g_opt_kwargs": {"lr": 1e-3, "betas": [0.0, 0.99]},
+                     "batch_size": 32}}
+    apply_overrides(cfg, [
+        "train.g_opt_kwargs.lr=1e-4",
+        "train.g_opt_kwargs.betas.1=0.5",
+        "train.batch_size=8",
+        "train.new_section.flag=true",
+        "env.rnd_seed=7",
+    ])
+    assert cfg["train"]["g_opt_kwargs"]["lr"] == 1e-4
+    assert cfg["train"]["g_opt_kwargs"]["betas"] == [0.0, 0.5]
+    assert cfg["train"]["batch_size"] == 8
+    assert cfg["train"]["new_section"]["flag"] is True
+    assert cfg["env"]["rnd_seed"] == 7
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["no_equals_sign"])

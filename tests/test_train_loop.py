@@ -66,6 +66,9 @@ def smoke_cfg(tmp_path):
 
 
 def test_train_stage_smoke(smoke_cfg):
+    import glob
+    import json
+
     state = train_stage(smoke_cfg, max_steps=3)
     assert int(state.step) == 3
     log_dir = smoke_cfg["train"]["log_dir"]
@@ -73,6 +76,13 @@ def test_train_stage_smoke(smoke_cfg):
     with open(os.path.join(log_dir, "stats.jsonl")) as f:
         lines = f.readlines()
     assert len(lines) >= 2
+    # resource telemetry in the tick record (reference Resources/* stats)
+    rec = json.loads(lines[0])
+    assert "Resources/cpu_mem_gb" in rec and rec["Resources/cpu_mem_gb"] > 0
     # checkpoint written at a tick boundary
     wdir = os.path.join(log_dir, "weight")
     assert os.path.isdir(wdir) and len(os.listdir(wdir)) >= 1
+    # raw + composited snapshot sheets (reference fakes*.png + *_combined)
+    assert glob.glob(os.path.join(log_dir, "fakes*_combined.png"))
+    # tensorboard event file (reference migan_default.py:578-585 sink)
+    assert glob.glob(os.path.join(log_dir, "events.out.tfevents.*"))
