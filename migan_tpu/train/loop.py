@@ -47,6 +47,7 @@ def _train_config_from_cfg(cfgt: Dict[str, Any]) -> TrainConfig:
         batch_size=cfgt["batch_size"],
         ema_kimg=cfgt.get("ema_kimg", 20),
         ema_rampup=cfgt.get("ema_rampup"),
+        grad_accum_rounds=cfgt.get("grad_accum_rounds", 1),
     )
 
 

@@ -54,6 +54,11 @@ class TrainConfig:
     batch_size: int = 32           # global batch
     ema_kimg: float = 20.0
     ema_rampup: Optional[float] = None
+    # Split each phase's batch into this many sequential micro-batch rounds
+    # with one optimizer step (reference ddp_sync grad accumulation,
+    # migan_default.py:211-214) — trades step latency for peak memory, so
+    # the global batch is no longer capped by device HBM.
+    grad_accum_rounds: int = 1
 
 
 def make_optimizer(opt: OptConfig) -> optax.GradientTransformation:
@@ -65,6 +70,42 @@ def make_optimizer(opt: OptConfig) -> optax.GradientTransformation:
         b1 = b1 ** mb_ratio
         b2 = b2 ** mb_ratio
     return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=opt.eps)
+
+
+def _accum_grads(loss_fn, params, batch_arrays, rounds, rng=None):
+    """Mean gradients/stats of a phase loss over `rounds` micro-batches
+    with bounded memory: a lax.scan carries the gradient sum, so only one
+    micro-batch's activations are live at a time (the XLA analog of the
+    reference's no_sync accumulation loop, migan_default.py:211-214 /
+    torch_utils/misc.py:166-173 — summed torch grads and our mean differ
+    by a constant factor Adam is invariant to).
+
+    loss_fn(params, *chunk_arrays[, rng_chunk]) -> (loss, stats_dict).
+    batch_arrays: [N, ...] arrays split along dim 0 (N % rounds == 0).
+    """
+    if rounds <= 1:
+        args = batch_arrays + ((rng,) if rng is not None else ())
+        (_, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, *args)
+        return grads, stats
+
+    def rs(x):
+        assert x.shape[0] % rounds == 0, (x.shape, rounds)
+        return x.reshape((rounds, x.shape[0] // rounds) + x.shape[1:])
+
+    xs = tuple(rs(x) for x in batch_arrays)
+    if rng is not None:
+        xs = xs + (jax.random.split(rng, rounds),)
+
+    def body(gsum, xr):
+        (_, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, *xr)
+        return jax.tree_util.tree_map(jnp.add, gsum, grads), stats
+
+    init = jax.tree_util.tree_map(jnp.zeros_like, params)
+    gsum, stats = jax.lax.scan(body, init, xs)
+    grads = jax.tree_util.tree_map(lambda g: g / rounds, gsum)
+    return grads, {k: jnp.mean(v, axis=0) for k, v in stats.items()}
 
 
 def _sanitize_grads(grads):
@@ -173,31 +214,27 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     """
     tx_g = make_optimizer(cfg.g_opt)
     tx_d = make_optimizer(cfg.d_opt)
+    rounds = max(1, cfg.grad_accum_rounds)
 
     @jax.jit
     def g_phase(params_G, opt_G, params_D, real, mask, rng):
-        erased = real * mask
-
-        def g_loss_fn(p):
-            return losses.g_loss(p, params_D, real, mask, erased, rng,
+        def g_loss_fn(p, x, m, k):
+            return losses.g_loss(p, params_D, x, m, x * m, k,
                                  g_cfg, d_cfg, cfg.loss, teacher_fn)
 
-        (_, g_stats), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(params_G)
+        g_grads, g_stats = _accum_grads(g_loss_fn, params_G, (real, mask),
+                                        rounds, rng=rng)
         g_grads = _freeze_buffers(_sanitize_grads(g_grads))
         g_updates, opt_G = tx_g.update(g_grads, opt_G, params_G)
         return optax.apply_updates(params_G, g_updates), opt_G, g_stats
 
     @jax.jit
     def d_phase(params_D, opt_D, params_G, real, mask, rng):
-        erased = real * mask
+        def d_loss_fn(p, x, m, k):
+            return losses.d_loss(p, params_G, x, m, x * m, k, g_cfg, d_cfg)
 
-        def d_loss_fn(p):
-            return losses.d_loss(p, params_G, real, mask, erased, rng,
-                                 g_cfg, d_cfg)
-
-        (_, d_stats), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(params_D)
+        d_grads, d_stats = _accum_grads(d_loss_fn, params_D, (real, mask),
+                                        rounds, rng=rng)
         d_grads = _sanitize_grads(d_grads)
         d_updates, opt_D = tx_d.update(d_grads, opt_D, params_D)
         return optax.apply_updates(params_D, d_updates), opt_D, d_stats
@@ -206,13 +243,13 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     def d_r1_phase(params_D, opt_D, real, mask):
         gain = cfg.d_opt.reg_interval or 1
 
-        def d_r1_fn(p):
-            r1_l, r1_stats = losses.d_r1_loss(p, real, mask, d_cfg,
+        def d_r1_fn(p, x, m):
+            r1_l, r1_stats = losses.d_r1_loss(p, x, m, d_cfg,
                                               cfg.loss.r1_gamma)
             return r1_l * gain, r1_stats
 
-        (_, r1_stats), r1_grads = jax.value_and_grad(
-            d_r1_fn, has_aux=True)(params_D)
+        r1_grads, r1_stats = _accum_grads(d_r1_fn, params_D, (real, mask),
+                                          rounds)
         r1_grads = _sanitize_grads(r1_grads)
         r1_updates, opt_D = tx_d.update(r1_grads, opt_D, params_D)
         return optax.apply_updates(params_D, r1_updates), opt_D, r1_stats
