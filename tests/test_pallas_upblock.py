@@ -1,0 +1,78 @@
+"""fused_up_block Pallas kernel vs the XLA composition.
+
+Kernel-eligible shapes run the kernel body in interpret mode; an ineligible
+shape checks the XLA fallback; `test_kernel_path_is_taken` asserts which
+path executed. Numerics must match ops/upfirdn2d.py's upsample2d exactly
+(same [1,3,3,1] filter, gain=4) plus the noise/act/skip/sepconv tail.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import migan_tpu.ops.pallas.upblock as upblock_mod
+from migan_tpu.ops.pallas.upblock import fused_up_block, _xla_up_block
+
+
+def _inputs(N, Hl, Wl, C, O, seed=0):
+    rng = np.random.RandomState(seed)
+    x_lo = jnp.asarray(rng.randn(N, Hl, Wl, C), jnp.float32)
+    skip = jnp.asarray(rng.randn(N, 2 * Hl, 2 * Wl, C), jnp.float32)
+    nz_up = jnp.asarray(rng.randn(2 * Hl, 2 * Wl) * 0.1, jnp.float32)
+    w_dw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.float32)
+    b_dw = jnp.asarray(rng.randn(C), jnp.float32)
+    w_pw = jnp.asarray(rng.randn(1, 1, C, O) * 0.2, jnp.float32)
+    nz2 = jnp.asarray(rng.randn(2 * Hl, 2 * Wl) * 0.1, jnp.float32)
+    return x_lo, skip, nz_up, w_dw, b_dw, w_pw, nz2
+
+
+# Eligible: C % 128 == 0, O % 128 == 0, Wl % 8 == 0, T | Hh*Wl etc.
+KERNEL_SHAPES = [
+    (2, 8, 16, 128, 128),     # multi-tile per image
+    (1, 16, 8, 128, 128),     # narrow rows
+    (2, 8, 8, 128, 256),      # O > C
+]
+
+
+@pytest.mark.parametrize("shape", KERNEL_SHAPES)
+@pytest.mark.parametrize("use_noise2", [False, True])
+def test_fused_up_block_kernel_path(shape, use_noise2):
+    N, Hl, Wl, C, O = shape
+    x_lo, skip, nz_up, w_dw, b_dw, w_pw, nz2 = _inputs(N, Hl, Wl, C, O)
+    n2 = nz2 if use_noise2 else None
+    want = np.asarray(_xla_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw, n2))
+    got = np.asarray(fused_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw, n2,
+                                    interpret=True, tile_rows=4))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_up_block_fallback_shape():
+    # C = 64 fails the lane gate -> XLA path must still be exact.
+    x_lo, skip, nz_up, w_dw, b_dw, w_pw, nz2 = _inputs(2, 8, 8, 64, 64)
+    want = np.asarray(_xla_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw,
+                                    nz2))
+    got = np.asarray(fused_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw,
+                                    nz2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_path_is_taken(monkeypatch):
+    calls = []
+    orig = upblock_mod._xla_up_block
+
+    def recording(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(upblock_mod, "_xla_up_block", recording)
+
+    # eligible (unique N=3 so jit tracing isn't cached un-patched)
+    x_lo, skip, nz_up, w_dw, b_dw, w_pw, _ = _inputs(3, 8, 16, 128, 128)
+    fused_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw, None,
+                   interpret=True, tile_rows=4)
+    assert not calls
+
+    x_lo, skip, nz_up, w_dw, b_dw, w_pw, _ = _inputs(3, 8, 16, 64, 64)
+    fused_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw, None,
+                   interpret=True)
+    assert calls
