@@ -137,26 +137,39 @@ def main(argv=None):
                                      args.dtype)
     inception, lp = load_detectors(args)
 
-    ds = InferenceDataset(args.real_dir, args.mask_dir, resolution)
-    n = len(ds) if args.max_items is None else min(len(ds), args.max_items)
-    dl = DataLoader(ds, batch_size=args.batch_size,
-                    indices=range(n), num_workers=args.num_workers,
-                    drop_last=False)
-
-    # Data-parallel sharding: batches split over the device mesh; the jitted
-    # model/detector partition automatically (replaces the reference's
-    # multi-GPU DDP eval; scales to a v5e-8 slice unchanged).
     import jax
 
+    ds = InferenceDataset(args.real_dir, args.mask_dir, resolution)
+    n = len(ds) if args.max_items is None else min(len(ds), args.max_items)
+    # multi-host: each process evaluates a rank-strided, extend-padded
+    # shard of the items on its LOCAL devices; per-item results are
+    # re-interleaved after a host allgather (the reference's DDP zipzap
+    # gather, lib/evaluator/evaluator_base pattern, without NCCL).
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from ..data.sampler import ShardSampler
+
+        indices = ShardSampler(n, num_shards=n_proc,
+                               shard=jax.process_index(), shuffle=False,
+                               extend=True).epoch_indices(0)
+    else:
+        indices = range(n)
+    dl = DataLoader(ds, batch_size=args.batch_size,
+                    indices=indices, num_workers=args.num_workers,
+                    drop_last=False)
+
+    # Data-parallel sharding: batches split over the per-process device
+    # mesh; the jitted model/detector partition automatically (replaces the
+    # reference's multi-GPU DDP eval; scales to a v5e-8 slice unchanged).
     use_dp = (args.data_parallel if args.data_parallel is not None
-              else jax.device_count() > 1)
+              else jax.local_device_count() > 1)
     shard = None
     if use_dp:
         from ..parallel.mesh import make_mesh, batch_sharding
 
-        mesh = make_mesh()
+        mesh = make_mesh(devices=jax.local_devices())
         sharding = batch_sharding(mesh)
-        n_dev = jax.device_count()
+        n_dev = jax.local_device_count()
 
         def shard(a):
             """Pad the batch to a device multiple and shard it; returns
@@ -190,9 +203,26 @@ def main(argv=None):
         real_acts.append(ra)
         fake_acts.append(fa)
 
+    lpips_arr = np.asarray(lpips_vals, np.float64)
+    real_acts = np.concatenate(real_acts)
+    fake_acts = np.concatenate(fake_acts)
+    if n_proc > 1:
+        # allgather per-shard results, re-interleave to the original item
+        # order (shard s holds items s, s+P, s+2P, ...), trim extend-pad
+        from jax.experimental import multihost_utils
+
+        def zipzap(a):
+            g = multihost_utils.process_allgather(a)   # [P, m, ...]
+            g = np.swapaxes(np.asarray(g), 0, 1)       # [m, P, ...]
+            return g.reshape((-1,) + g.shape[2:])[:n]
+
+        lpips_arr, real_acts, fake_acts = (zipzap(lpips_arr),
+                                           zipzap(real_acts),
+                                           zipzap(fake_acts))
+        lpips_vals = lpips_arr.tolist()
+
     print("Calculating Frechet distance. Please wait... ")
-    fid_value = fid_from_feature_arrays(np.concatenate(real_acts),
-                                        np.concatenate(fake_acts))
+    fid_value = fid_from_feature_arrays(real_acts, fake_acts)
     print("FID:", fid_value)
     print("LPIPS: ", float(np.mean(lpips_vals)))
     return fid_value, float(np.mean(lpips_vals))

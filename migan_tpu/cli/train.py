@@ -97,6 +97,14 @@ def cfg_initiates(cfg, args):
 
 def main(argv=None):
     args = get_args(argv)
+
+    # multi-host: one process per host, env-gated (MIGAN_TPU_MULTIHOST=1 +
+    # standard JAX coordination env). Must run before any jax use so every
+    # process sees the global device set. Replaces the reference's run.sh
+    # TCP rendezvous + mp.spawn (reference run.sh:28-96, main.py:13-35).
+    from ..parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     banks = ConfigBanks(args.config_root)
     cfg = banks.experiment(args.experiment)
     # subtree swaps from the banks (reference --model/--dataset,

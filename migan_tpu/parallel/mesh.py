@@ -50,9 +50,37 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 axis: str = "data") -> Dict[str, Any]:
-    """Device_put a host batch with the batch dim sharded over `axis`."""
+    """Build the global sharded batch from this host's data.
+
+    Single-host: a device_put with the batch dim sharded over `axis`.
+    Multi-host (jax.process_count() > 1): `batch` is the PER-HOST shard
+    (global_batch / process_count rows, produced by a rank-strided
+    sampler); jax.make_array_from_process_local_data assembles the global
+    array without any cross-host transfer — the TPU-native replacement for
+    the reference's per-rank DataLoader + NCCL all-gather
+    (reference: lib/data_factory/common/ds_sampler.py, lib/utils.py:41-46).
+    """
     s = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def maybe_initialize_distributed() -> bool:
+    """Env-gated multi-host init (idempotent). Set MIGAN_TPU_MULTIHOST=1
+    with the standard JAX coordination env (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or cloud auto-detection) before
+    launching one process per host. Replaces the reference's TCP rendezvous
+    + mp.spawn launcher (reference: run.sh:28-96, main.py:13-35)."""
+    import os
+
+    if os.environ.get("MIGAN_TPU_MULTIHOST", "") not in ("", "0"):
+        if jax.process_count() == 1:  # not already initialized
+            jax.distributed.initialize()
+        return True
+    return False
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -165,7 +165,10 @@ def _run_metrics(cfg, state, g_cfg, ctx, log_dir) -> Optional[float]:
     from ..evalx import metrics as metric_main
     from ..models.migan import generator_apply as g_apply
 
-    gen = jax.jit(lambda x: g_apply(state.params_G_ema, x, g_cfg,
+    # localize the (replicated, hence addressable) EMA params so the
+    # chief-only eval never launches a global computation in multi-host runs
+    ema_host = jax.tree_util.tree_map(np.asarray, state.params_G_ema)
+    gen = jax.jit(lambda x: g_apply(ema_host, x, g_cfg,
                                     noise_mode="const"))
     fid_value = None
     for name in ctx["metrics"]:
@@ -207,8 +210,18 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     print_log(f"train dataset: {cfgt['dataset']['name']} "
               f"({len(trainset)} items)")
     batch_size = cfgt["batch_size"]
-    sampler = InfiniteSampler(len(trainset), seed=seed)
-    loader = DataLoader(trainset, batch_size, indices=iter(sampler),
+    # multi-host: each process loads only its rank-strided shard; the global
+    # batch is assembled device-side by shard_batch (parallel/mesh.py). The
+    # seed-derived permutation makes every host agree on the order without
+    # the reference's rank-0 broadcast (ds_sampler.py:77-85).
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    is_chief = proc == 0
+    assert batch_size % n_proc == 0, (batch_size, n_proc)
+    local_bs = batch_size // n_proc
+    sampler = InfiniteSampler(len(trainset), num_shards=n_proc, shard=proc,
+                              seed=seed)
+    loader = DataLoader(trainset, local_bs, indices=iter(sampler),
                         num_workers=cfgt.get("dataset_num_workers") or 4)
 
     # ----- models ----------------------------------------------------------
@@ -242,8 +255,9 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     kimg_per_tick = cfgt.get("kimg_per_tick", 4)
     snapshot = cfgt.get("snapshot", {})
     collector = training_stats.default_collector()
-    stats_jsonl = open(osp.join(log_dir, "stats.jsonl"), "at")
-    tb = _make_tb_writer(log_dir)
+    stats_jsonl = (open(osp.join(log_dir, "stats.jsonl"), "at")
+                   if is_chief else None)
+    tb = _make_tb_writer(log_dir) if is_chief else None
 
     cur_nimg = int(state.nimg)
     batch_idx = int(state.step)
@@ -267,10 +281,11 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             # init grids (reference draw_functor isinit branch,
             # migan_default.py:99-129: reals / masks / erased sheets)
             drew_init = True
-            m = mask[..., None]
-            _save_image_grid(x, osp.join(log_dir, "reals.png"))
-            _save_image_grid(m * 2 - 1, osp.join(log_dir, "masks.png"))
-            _save_image_grid(x * m, osp.join(log_dir, "erased.png"))
+            if is_chief:
+                m = mask[..., None]
+                _save_image_grid(x, osp.join(log_dir, "reals.png"))
+                _save_image_grid(m * 2 - 1, osp.join(log_dir, "masks.png"))
+                _save_image_grid(x * m, osp.join(log_dir, "erased.png"))
         batch = shard_batch(batch, mesh)
         key, k_step = jax.random.split(key)
         do_dr1 = (d_reg_interval > 0 and batch_idx % d_reg_interval == 0)
@@ -308,10 +323,11 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         if "Resources/peak_device_mem_gb" in resources:
             line += (f"  devmem "
                      f"{resources['Resources/peak_device_mem_gb']:.2f}g")
-        print_log(line)
-        stats_jsonl.write(json.dumps(
-            {**fields, **collector.as_dict(), **resources}) + "\n")
-        stats_jsonl.flush()
+        if is_chief:
+            print_log(line)
+            stats_jsonl.write(json.dumps(
+                {**fields, **collector.as_dict(), **resources}) + "\n")
+            stats_jsonl.flush()
         if tb is not None:
             for k in collector.names():
                 tb.add_scalar(k, collector.mean(k), cur_nimg)
@@ -319,14 +335,20 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
                 tb.add_scalar(k, v, cur_nimg)
             tb.flush()
 
-        if snapshot.get("image") and (cur_tick % snapshot["image"] == 0):
+        if (is_chief and snapshot.get("image")
+                and cur_tick % snapshot["image"] == 0):
             try:
                 from ..models.migan import generator_apply as g_apply
 
-                real = np.asarray(batch["real"])
-                m = np.asarray(batch["mask"])
+                # host-local data (the global batch isn't addressable from
+                # one process in multi-host runs); EMA params are
+                # replicated, hence fetchable everywhere
+                real = np.asarray(x)
+                m = np.asarray(mask[..., None])
+                ema_host = jax.tree_util.tree_map(np.asarray,
+                                                  state.params_G_ema)
                 demo = np.asarray(g_apply(
-                    state.params_G_ema,
+                    ema_host,
                     np.concatenate([m - 0.5, real * m], axis=-1),
                     g_cfg, noise_mode="const"))
                 tag = f"{cur_nimg // 1000:06d}"
@@ -340,7 +362,7 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             except Exception as e:  # pragma: no cover
                 print_log(f"image snapshot failed: {e}")
 
-        if (snapshot.get("evaluate") and metric_ctx is not None
+        if (is_chief and snapshot.get("evaluate") and metric_ctx is not None
                 and cur_tick % snapshot["evaluate"] == 0 and cur_tick > 0):
             fid = _run_metrics(cfg, state, g_cfg, metric_ctx, log_dir)
             if fid is not None and tb is not None:
@@ -352,7 +374,7 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
                                  state)
                 print_log(f"new best FID {fid:.3f}: {path}")
 
-        if snapshot.get("checkpoint") and (
+        if is_chief and snapshot.get("checkpoint") and (
                 cur_tick % snapshot["checkpoint"] == 0 or done):
             path = ckpt.save(ckpt_dir, batch_idx, state)
             print_log(f"checkpoint: {path}")
@@ -363,7 +385,8 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         if done:
             break
 
-    stats_jsonl.close()
+    if stats_jsonl is not None:
+        stats_jsonl.close()
     if tb is not None:
         tb.close()
     return state
