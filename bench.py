@@ -71,14 +71,88 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     return best, best_bs
 
 
+def bench_latency_p50(iters=30):
+    """p50 single-image latency (bs=1), the BASELINE.json secondary metric."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from migan_tpu.models.migan_inference import (
+        GeneratorConfig, generator_init,
+    )
+    from migan_tpu.models.migan_fold import generator_apply_fast
+
+    cfg = GeneratorConfig(resolution=512)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.ndim >= 1 else p, params)
+
+    @jax.jit
+    def fwd(params, x):
+        return jnp.sum(generator_apply_fast(params, x, cfg)
+                       .astype(jnp.float32))
+
+    x = jnp.zeros((1, 512, 512, 4), jnp.bfloat16)
+    float(np.asarray(fwd(params, x)))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(fwd(params, x)))
+        ts.append((time.perf_counter() - t0) * 1000)
+    return float(np.median(ts))
+
+
+def bench_train_step(res=256, bs=32, warmup=2, iters=8):
+    """Training throughput, reference flagship config: migan-256 dw+reparam
+    G / D, NS + R1(every step here = worst case) on one chip.
+    (reference schedule: global batch 32 on 8 GPUs — BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from migan_tpu.models.migan import MiganConfig
+    from migan_tpu.train.train_step import (
+        TrainConfig, OptConfig, init_train_state, make_train_step,
+    )
+    from migan_tpu.train.loss import LossConfig
+
+    g_cfg = MiganConfig(resolution=res, depthwise=True, reparametrize=True,
+                        num_reparam_tensors=9)
+    d_cfg = MiganConfig(resolution=res)
+    tcfg = TrainConfig(batch_size=bs, loss=LossConfig(r1_gamma=10.0))
+    state = init_train_state(jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg)
+    step = make_train_step(g_cfg, d_cfg, tcfg)
+    batch = {
+        "real": jnp.zeros((bs, res, res, 3), jnp.float32),
+        "mask": jnp.ones((bs, res, res, 1), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, stats = step(state, batch, key, do_dr1=True)
+        float(np.asarray(stats["Loss/G/loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, stats = step(state, batch, key, do_dr1=True)
+    float(np.asarray(stats["Loss/G/loss"]))
+    return bs * iters / (time.perf_counter() - t0)
+
+
 def main():
     value, bs = bench_migan512()
+    extra = {}
+    try:
+        extra["p50_latency_ms"] = round(bench_latency_p50(), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# latency bench failed: {type(e).__name__}", file=sys.stderr)
+    try:
+        extra["train_imgs_per_sec"] = round(bench_train_step(), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# train bench failed: {type(e).__name__}", file=sys.stderr)
     print(json.dumps({
         "metric": "migan512_inference_throughput",
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / BASELINE_PER_CHIP, 3),
         "batch_size": bs,
+        **extra,
     }))
 
 
