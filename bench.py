@@ -26,7 +26,7 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
         GeneratorConfig, generator_init, generator_apply,
     )
 
-    from migan_tpu.models.migan_fold import generator_apply_fast
+    from migan_tpu.models.migan_pallas import generator_apply_pallas
 
     cfg = GeneratorConfig(resolution=512)
     params = generator_init(jax.random.PRNGKey(0), cfg)
@@ -35,8 +35,9 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
 
     @jax.jit
     def fwd(params, x):
-        # batch-folded top stage (bit-exact vs generator_apply; 1.23x)
-        return generator_apply_fast(params, x, cfg)
+        # batch-folded + whole-stage Pallas top stages (parity-tested vs
+        # generator_apply; 491 vs 468 img/s for the folded-XLA path)
+        return generator_apply_pallas(params, x, cfg)
 
     import numpy as np
 

@@ -2,17 +2,28 @@
 
 Builds on the batch-folded path (models/migan_fold.py) and replaces the two
 top-resolution stages — the dominant cost of migan-512 inference, measured
-HBM-bandwidth-bound — with chained Pallas kernels that keep activations in
-the flat / w-packed 2-D layout end to end, so XLA<->Mosaic relayout is paid
-only at stage entry/exit (the round-1 lesson: a single fused call in the
-middle of an XLA conv chain loses to relayout costs; a whole stage wins):
+HBM-bandwidth-bound — with chained Pallas kernels. Every tensor between the
+kernels lives in ONE 2-D layout, the w-packed view
 
-  encoder top   : fromrgb as a flat MXU matmul -> fused_block
-                  (dw+act+pw+act, ops/pallas/sepconv.py) -> fused_down_block
-                  (dw+act+FIR-down+pw+act, ops/pallas/downblock.py)
-  synthesis top : conv1's low-res half in XLA -> fused_up_block
+    [N, H, W, C]  ->  [N*H*(W/2), 2C]   (even/odd w-pixels side by side)
+
+because op-level traces (scripts/profile_fwd.py) show the flat<->packed
+reshape is a real ~13 ms HBM round-trip per 512-res tensor at batch 128 —
+chaining kernels is only a win if NOTHING between them changes layout:
+
+  encoder top   : fromrgb as a flat MXU matmul (tiny-lane input tensors
+                  pack terribly in XLA — packing the 8-ch input measured
+                  45 ms) -> fused_block with an IN-KERNEL packed store
+                  (ops/pallas/sepconv.py) -> fused_down_block consuming
+                  the packed rows directly (ops/pallas/downblock.py)
+  mid stage     : second-to-top encoder/synthesis stages run batch-folded
+                  in XLA (models/migan_fold._sep_folded) so the 512/256
+                  frontier needs no unfold transposes (~15 ms saved)
+  synthesis top : conv1's low-res half in folded XLA -> fused_up_block
                   (FIR-up+noise+act+skip+dw+act+pw+noise+act,
-                  ops/pallas/upblock.py) -> torgb as a flat matmul
+                  ops/pallas/upblock.py, packed output) -> torgb as a
+                  packed flat matmul with block-diag per-phase weights
+                  (ops/pallas/packedblock.py::blockdiag2)
 
 Numerics: identical op semantics to models/migan_inference.py (the oracle);
 parity is tested in tests/test_migan_pallas.py. Reference semantics:
@@ -27,6 +38,7 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from ..ops import conv2d, upsample2d
+from ..ops.pallas.packedblock import blockdiag2
 from ..ops.pallas.sepconv import fused_block
 from ..ops.pallas.upblock import fused_up_block
 from ..ops.pallas.downblock import fused_down_block
@@ -34,7 +46,7 @@ from .migan_inference import (
     GeneratorConfig, ACT, resample_filter, _noise_for,
     sep_conv_apply, encoder_block_apply, _conv1x1_apply,
 )
-from .migan_fold import fold, unfold, fold_stage_params
+from .migan_fold import fold, unfold, fold_stage_params, _sep_folded
 
 Params = Dict[str, Any]
 
@@ -78,32 +90,48 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     p_st = fold_stage_params(syn[f"b{top_res}"])
 
     # ---- encoder top stage: Pallas chain ------------------------------
+    # Entry stays in the flat [N*H*W, C] view (the small 8-channel input
+    # packs terribly in XLA's tiny-lane tilings — measured 45 ms at bs=128);
+    # fused_block writes its output w-packed from inside the kernel, so the
+    # packed hand-off to the down/up blocks costs no HBM round-trip.
     xf = fold(x)
+    Nf, Ht, Wt, Cin_f = xf.shape
+    Wp = Wt // 2
     y = ACT(_flat_pw(xf, p_et["fromrgb"]["weight"], p_et["fromrgb"]["bias"]))
-    feat_f = fused_block(
+    feat_p = fused_block(
         y, p_et["conv1"]["conv1"]["weight"], p_et["conv1"]["conv1"]["bias"],
-        p_et["conv1"]["conv2"]["weight"], interpret=interpret)
+        p_et["conv1"]["conv2"]["weight"], interpret=interpret,
+        packed_out=True)
     z = fused_down_block(
-        feat_f, p_et["conv2"]["conv1"]["weight"],
+        feat_p, p_et["conv2"]["conv1"]["weight"],
         p_et["conv2"]["conv1"]["bias"], p_et["conv2"]["conv2"]["weight"],
-        interpret=interpret)
+        interpret=interpret, shape=(Nf, Ht, Wt))
+
+    # ---- second-to-top encoder stage: batch-folded XLA -----------------
+    # Staying folded here consumes the down-block's folded output directly
+    # (the unfold transpose at the 512/256 frontier measured ~15 ms at
+    # bs=128) and hands the synthesis side a folded skip.
+    mid_res = top_res // 2
+    p_em = fold_stage_params(enc[f"b{mid_res}"])
+    feat_mid_f = _sep_folded(p_em["conv1"], z, f)
+    z = _sep_folded(p_em["conv2"], feat_mid_f, f, down=2)
     z = unfold(z)
 
     # ---- remaining encoder stages (standard XLA) -----------------------
     feats: Dict[int, jnp.ndarray] = {}
-    for resi in cfg.encode_res[1:-1]:
+    for resi in cfg.encode_res[2:-1]:
         z, feat = encoder_block_apply(enc[f"b{resi}"], z, None, f, down=2)
         feats[resi] = feat
     z, feat = encoder_block_apply(enc["b4"], z, None, f, down=1)
     feats[4] = feat
 
-    # ---- synthesis through the second-to-top stage (standard) ----------
+    # ---- synthesis up to the third-from-top stage (standard) -----------
     p4 = syn["b4"]
     zz = sep_conv_apply(p4["conv1"], z, f)
     zz = zz + feats[4]
     zz = sep_conv_apply(p4["conv2"], zz, f)
     img = _conv1x1_apply(p4["torgb"], zz)
-    for res in cfg.block_res[1:-1]:
+    for res in cfg.block_res[1:-2]:
         p = syn[f"b{res}"]
         zz = sep_conv_apply(p["conv1"], zz, f, up=2, use_noise=True)
         zz = zz + feats[res]
@@ -111,26 +139,45 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
         img = upsample2d(img, f)
         img = img + _conv1x1_apply(p["torgb"], zz)
 
-    # ---- synthesis top stage: Pallas chain -----------------------------
-    p_top = syn[f"b{top_res}"]
-    # conv1 low-res half (dw at half res, unfolded; pw -> c_top), XLA
-    c_in = zz.shape[-1]
-    k = p_top["conv1"]["conv1"]["weight"].shape[0]
-    t = conv2d(zz, p_top["conv1"]["conv1"]["weight"], padding=k // 2,
-               groups=c_in)
-    t = ACT(t + p_top["conv1"]["conv1"]["bias"].astype(t.dtype))
-    t = conv2d(t, p_top["conv1"]["conv2"]["weight"])
-    x_lo = fold(t)
-    # conv1 hi-res half + skip + conv2, one kernel
-    n1 = _noise_for(p_top["conv1"], top_res, top_res)
-    n2 = _noise_for(p_top["conv2"], top_res, top_res)
-    t = fused_up_block(
-        x_lo, feat_f, n1,
-        p_st["conv2"]["conv1"]["weight"], p_st["conv2"]["conv1"]["bias"],
-        p_st["conv2"]["conv2"]["weight"], n2, interpret=interpret)
+    # ---- second-to-top synthesis stage: batch-folded XLA ---------------
+    # (folding at the small 128-res tensors is cheap; the folded skip from
+    # the encoder then joins with no transposes)
+    p_sm = fold_stage_params(syn[f"b{mid_res}"])
+    zz = fold(zz)
+    img = fold(img)
+    zz = _sep_folded(p_sm["conv1"], zz, f, up=2, use_noise=True)
+    zz = zz + feat_mid_f
+    zz = _sep_folded(p_sm["conv2"], zz, f, use_noise=True)
+    img = upsample2d(img, f)
+    img = img + _conv1x1_apply(p_sm["torgb"], zz)
 
-    # torgb as a flat matmul; img branch (6 folded channels) in XLA
-    img_f = fold(img)
-    img_f = upsample2d(img_f, f)
-    y = _flat_pw(t, p_st["torgb"]["weight"], p_st["torgb"]["bias"])
-    return unfold(img_f + y)
+    # ---- synthesis top stage: packed Pallas chain ----------------------
+    # conv1 low-res half (folded dw + pw -> folded c_top), XLA
+    c_in = zz.shape[-1]
+    k = p_st["conv1"]["conv1"]["weight"].shape[0]
+    t = conv2d(zz, p_st["conv1"]["conv1"]["weight"], padding=k // 2,
+               groups=c_in)
+    t = ACT(t + p_st["conv1"]["conv1"]["bias"].astype(t.dtype))
+    t = conv2d(t, p_st["conv1"]["conv2"]["weight"])
+    x_lo = t
+    # conv1 hi-res half + skip + conv2, one kernel; output stays packed
+    n1 = _noise_for(p_st["conv1"], top_res, top_res)
+    n2 = _noise_for(p_st["conv2"], top_res, top_res)
+    t_p = fused_up_block(
+        x_lo, feat_p, n1,
+        p_st["conv2"]["conv1"]["weight"], p_st["conv2"]["conv1"]["bias"],
+        p_st["conv2"]["conv2"]["weight"], n2, interpret=interpret,
+        packed_out=True)
+
+    # torgb as a packed flat matmul (block-diag per-phase weights). The
+    # packed rgb rows [NR, 12] and folded NHWC bytes agree ([p, phase, c]
+    # -> w = 2p+k), so returning to NHWC for the small 6-channel image
+    # branch is a plain reshape — packing the img branch instead costs
+    # ~18 ms in XLA's tiny-lane tilings (measured).
+    w_rgb = blockdiag2(p_st["torgb"]["weight"]).astype(t_p.dtype)
+    b_rgb = jnp.tile(p_st["torgb"]["bias"], (2,)).astype(t_p.dtype)
+    y = t_p @ w_rgb + b_rgb                       # [NR, 12] packed rgb
+    crgb = img.shape[-1]                          # 6 folded rgb channels
+    y_f = y.reshape(Nf, top_res, 2 * Wp, crgb)
+    img_f = upsample2d(img, f)
+    return unfold(img_f.astype(y_f.dtype) + y_f)

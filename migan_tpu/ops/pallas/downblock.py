@@ -158,21 +158,33 @@ def _xla_down_block(x, w_dw, b_dw, w_pw):
     return _act(conv2d(y, w_pw))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_rows", "shape"))
 def fused_down_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                      w_pw: jnp.ndarray, interpret: bool = False,
-                     tile_rows: int = 8) -> jnp.ndarray:
+                     tile_rows: int = 8,
+                     shape=None) -> jnp.ndarray:
     """Fused dw3x3+b -> act -> FIR-down2 -> pw1x1 -> act.
 
     Args:
-        x: [N, Hh, Wh, C] hi-res input (C % 128 == 0, Wh/2 % 8 == 0).
+        x: [N, Hh, Wh, C] hi-res input (C % 128 == 0, Wh/2 % 8 == 0) — or
+            its w-packed 2-D view [N*Hh*Wh/2, 2C] with `shape=(N, Hh, Wh)`
+            (free hand-off from the packed encoder kernels).
         w_dw: [3,3,1,C] (or [3,3,C]) depthwise weights; b_dw: [C].
         w_pw: [1,1,C,O] (or [C,O]) pointwise weights (O % 128 == 0).
         tile_rows: lo-res image rows per grid step (auto-shrunk for VMEM).
+        shape: static (N, Hh, Wh) when x is the packed 2-D view.
 
     Returns [N, Hh/2, Wh/2, O].
     """
-    N, Hh, Wh, C = x.shape
+    if x.ndim == 2:
+        N, Hh, Wh = shape
+        C = x.shape[-1] // 2
+        assert x.shape == (N * Hh * (Wh // 2), 2 * C), (x.shape, shape)
+        x2d_in = x
+    else:
+        N, Hh, Wh, C = x.shape
+        x2d_in = None
     if w_dw.ndim == 4:
         w_dw = w_dw[:, :, 0, :]
     if w_pw.ndim == 4:
@@ -204,9 +216,11 @@ def fused_down_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
             eligible = False
 
     if not eligible:
+        if x2d_in is not None:
+            x = x2d_in.reshape(N, Hh, Wh, C)
         return _xla_down_block(x, w_dw, b_dw, w_pw)
 
-    x2d = x.reshape(NR2, 2 * C)
+    x2d = x2d_in if x2d_in is not None else x.reshape(NR2, 2 * C)
     kernel = functools.partial(_kernel, T=T, Wp=Wp, Hh=Hh, NR2=NR2)
     L = 2 * T + 2 * Wp
     Mx = 2 * Wp + 8

@@ -70,7 +70,7 @@ def _dma_for(x_hbm, scratch, sem, slot, j, *, M, SZ, tile, NHW):
 
 
 def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
-            has_skip: bool, has_pre: bool):
+            has_skip: bool, has_pre: bool, packed_out: bool):
     # positional refs layout (inputs, then out, then scratch):
     #   x_hbm, [skip_hbm], [wpre, bpre], wdw, bdw, wpw, noise,
     #   out_ref, x_scratch, x_sem, [s_scratch, s_sem]
@@ -150,31 +150,34 @@ def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
             span = jnp.dot(span.astype(wpre_ref.dtype), wpre_ref[:],
                            preferred_element_type=jnp.float32)
             span = _act(span + bpre_ref[0].astype(jnp.float32))
-        z_span = span
+        z_span = span.astype(jnp.float32)
 
+    # Masks hoisted: the w-seam selects apply once per source column (not
+    # per (dy, dx) tap) and the h-seam select once per dy on the combined
+    # 3-tap term — the VPU, not the DMA stream, limits this kernel.
+    m_l = col > 0
+    m_r = col < W - 1
     acc = jnp.zeros((tile, C_out_dw), jnp.float32)
     for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            start = 2 * M + dy * W + dx  # static
-            if z_span is not None:
-                rows = z_span[start - M:start - M + tile, :]
-            else:
-                rows = window[start:start + tile, :]
-            mask = None
-            if dy == -1:
-                mask = h > 0
-            elif dy == 1:
-                mask = h < H - 1
-            if dx == -1:
-                m2 = col > 0
-                mask = m2 if mask is None else jnp.logical_and(mask, m2)
-            elif dx == 1:
-                m2 = col < W - 1
-                mask = m2 if mask is None else jnp.logical_and(mask, m2)
-            rows = rows.astype(jnp.float32)
-            if mask is not None:
-                rows = jnp.where(mask, rows, 0.0)
-            acc += rows * wdw_ref[dy + 1, dx + 1, :].astype(jnp.float32)
+        start = 2 * M + dy * W  # static
+        if z_span is not None:
+            rows = z_span[start - M:start - M + tile, :]
+            rows_l = z_span[start - M - 1:start - M - 1 + tile, :]
+            rows_r = z_span[start - M + 1:start - M + 1 + tile, :]
+        else:
+            rows = window[start:start + tile, :].astype(jnp.float32)
+            rows_l = window[start - 1:start - 1 + tile, :].astype(jnp.float32)
+            rows_r = window[start + 1:start + 1 + tile, :].astype(jnp.float32)
+        w_l = wdw_ref[dy + 1, 0, :].astype(jnp.float32)
+        w_c = wdw_ref[dy + 1, 1, :].astype(jnp.float32)
+        w_r = wdw_ref[dy + 1, 2, :].astype(jnp.float32)
+        term = (jnp.where(m_l, rows_l, 0.0) * w_l + rows * w_c
+                + jnp.where(m_r, rows_r, 0.0) * w_r)
+        if dy == -1:
+            term = jnp.where(h > 0, term, 0.0)
+        elif dy == 1:
+            term = jnp.where(h < H - 1, term, 0.0)
+        acc += term
 
     acc += bdw_ref[0].astype(jnp.float32)
     acc = _act(acc)
@@ -183,7 +186,12 @@ def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
                   preferred_element_type=jnp.float32)
     if use_noise:
         out = out + noise_ref[:].astype(jnp.float32)
-    out_ref[:] = _act(out).astype(out_ref.dtype)
+    out = _act(out).astype(out_ref.dtype)
+    if packed_out:
+        # flat [tile, O] -> w-packed [tile/2, 2O]: an in-VMEM relayout,
+        # replacing the full HBM round-trip XLA pays for the same reshape
+        out = out.reshape(tile // 2, 2 * out.shape[-1])
+    out_ref[:] = out
 
 
 def _xla_sepconv(x, w_dw, b_dw, w_pw, noise):
@@ -217,14 +225,17 @@ def _xla_block(x, w_dw, b_dw, w_pw, noise, skip, w_pre, b_pre):
     return _xla_sepconv(x, w_dw, b_dw, w_pw, noise)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "packed_out", "tile_hint"))
 def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                 w_pw: jnp.ndarray,
                 noise: Optional[jnp.ndarray] = None,
                 skip: Optional[jnp.ndarray] = None,
                 w_pre: Optional[jnp.ndarray] = None,
                 b_pre: Optional[jnp.ndarray] = None,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False,
+                packed_out: bool = False,
+                tile_hint: int = 0) -> jnp.ndarray:
     """Fused [(+skip) -> (pw_pre+b -> act) -> dw3x3+b -> act -> pw1x1
     (+noise) -> act], NHWC — one HBM pass for a whole sub-block.
 
@@ -238,8 +249,11 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
         w_pw: [1, 1, C, O] HWIO pointwise weights (or [C, O]).
         noise: optional [H, W] additive per-pixel scalar (already scaled by
             noise_strength), broadcast over batch and channels.
+        packed_out: return the w-packed [N*H*(W/2), 2O] 2-D view instead of
+            NHWC — the relayout runs inside the kernel's VMEM store, saving
+            the HBM round-trip XLA pays for the same reshape.
 
-    Returns [N, H, W, O].
+    Returns [N, H, W, O], or [N*H*(W/2), 2O] when packed_out.
     """
     N, H, W, Cin = x.shape
     if w_dw.ndim == 4:
@@ -258,17 +272,25 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
     M = ((W + 1 + 7) // 8) * 8
     # tile: divides H*W, at least W+2, bounded by a VMEM window budget
     # (the budget covers every double-buffered window)
-    tile = HW
-    budget = 2 * 1024 * 1024 // (2 if has_skip else 1)
-    while tile > 2 * W and (tile + 4 * M) * Cin * x.dtype.itemsize > budget:
-        tile //= 2
+    if tile_hint:
+        tile = tile_hint
+    else:
+        tile = HW
+        budget = 2 * 1024 * 1024 // (2 if has_skip else 1)
+        while (tile > 2 * W
+               and (tile + 4 * M) * Cin * x.dtype.itemsize > budget):
+            tile //= 2
     assert HW % tile == 0 and NHW % tile == 0
 
-    if tile + 2 * M > NHW or tile % 8 or W % 8 or Cin % 128:
+    if (tile + 2 * M > NHW or tile % 8 or W % 8 or Cin % 128
+            or (packed_out and (tile % 16 or W % 2))):
         # array too small / lanes or sublanes unaligned — XLA path
         # (Cin must fill 128 lanes for HBM DMA slicing; the batch-folded
         # model path provides that at the C=64 stage, models/migan_fold.py)
-        return _xla_block(x, w_dw, b_dw, w_pw, noise, skip, w_pre, b_pre)
+        y = _xla_block(x, w_dw, b_dw, w_pw, noise, skip, w_pre, b_pre)
+        if packed_out:
+            y = y.reshape(NHW // 2, 2 * O)
+        return y
 
     use_noise = noise is not None
     if noise is None:
@@ -278,7 +300,7 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
 
     kernel = functools.partial(_kernel, tile=tile, H=H, W=W, NHW=NHW,
                                use_noise=use_noise, has_skip=has_skip,
-                               has_pre=has_pre)
+                               has_pre=has_pre, packed_out=packed_out)
     nh_blocks = HW // tile
 
     args = [x.reshape(NHW, Cin)]
@@ -314,17 +336,24 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
+    if packed_out:
+        out_specs = pl.BlockSpec((tile // 2, 2 * O), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((NHW // 2, 2 * O), x.dtype)
+    else:
+        out_specs = pl.BlockSpec((tile, O), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((NHW, O), x.dtype)
     out2d = pl.pallas_call(
         kernel,
         grid=(NHW // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, O), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NHW, O), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
-    return out2d.reshape(N, H, W, O)
+    return out2d if packed_out else out2d.reshape(N, H, W, O)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

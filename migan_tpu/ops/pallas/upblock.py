@@ -144,36 +144,36 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
     p_col = jax.lax.rem(ids, Wl)                  # packed (lo-res) w index
     h_row = jax.lax.rem(jax.lax.div(ids, Wl), Hh)
 
+    # Masks hoisted (the VPU limits this kernel): the two image-column
+    # corner taps get one select each, and the h-seam select applies once
+    # per dy on the combined 3-tap term instead of per tap.
+    mE = p_col > 0
+    mO = p_col < Wl - 1
     accE = jnp.zeros((T, C), jnp.float32)
     accO = jnp.zeros((T, C), jnp.float32)
     for dy in (-1, 0, 1):
-        hmask = None
-        if dy == -1:
-            hmask = h_row > 0
-        elif dy == 1:
-            hmask = h_row < Hh - 1
         roff = 2 * Wl + dy * Wl
         rows = t_scr[pl.ds(roff, T), :].astype(jnp.float32)
         rows_m1 = t_scr[pl.ds(roff - 1, T), :].astype(jnp.float32)
         rows_p1 = t_scr[pl.ds(roff + 1, T), :].astype(jnp.float32)
         tE, tO = rows[:, :C], rows[:, C:]
-        taps = (
-            (-1, rows_m1[:, C:], tE, p_col > 0, None),   # w-1: O[q-1], E[q]
-            (0, tE, tO, None, None),
-            (1, tO, rows_p1[:, :C], None, p_col < Wl - 1),
-        )
-        for dx, srcE, srcO, wmE, wmO in taps:
-            w = wdw_ref[dy + 1, dx + 1, :].astype(jnp.float32)
-            eterm, oterm = srcE, srcO
-            if hmask is not None:
-                eterm = jnp.where(hmask, eterm, 0.0)
-                oterm = jnp.where(hmask, oterm, 0.0)
-            if wmE is not None:
-                eterm = jnp.where(wmE, eterm, 0.0)
-            if wmO is not None:
-                oterm = jnp.where(wmO, oterm, 0.0)
-            accE = accE + eterm * w
-            accO = accO + oterm * w
+        w_l = wdw_ref[dy + 1, 0, :].astype(jnp.float32)
+        w_c = wdw_ref[dy + 1, 1, :].astype(jnp.float32)
+        w_r = wdw_ref[dy + 1, 2, :].astype(jnp.float32)
+        eterm = (jnp.where(mE, rows_m1[:, C:], 0.0) * w_l
+                 + tE * w_c + tO * w_r)
+        oterm = (tE * w_l + tO * w_c
+                 + jnp.where(mO, rows_p1[:, :C], 0.0) * w_r)
+        if dy == -1:
+            hmask = h_row > 0
+            eterm = jnp.where(hmask, eterm, 0.0)
+            oterm = jnp.where(hmask, oterm, 0.0)
+        elif dy == 1:
+            hmask = h_row < Hh - 1
+            eterm = jnp.where(hmask, eterm, 0.0)
+            oterm = jnp.where(hmask, oterm, 0.0)
+        accE = accE + eterm
+        accO = accO + oterm
 
     b = bdw_ref[0].astype(jnp.float32)
     yE = _act(accE + b)
@@ -224,25 +224,32 @@ def _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2):
     return _act(y)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_rows", "packed_out"))
 def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                    noise_up: jnp.ndarray,
                    w_dw: jnp.ndarray, b_dw: jnp.ndarray, w_pw: jnp.ndarray,
                    noise2: Optional[jnp.ndarray] = None,
                    interpret: bool = False,
-                   tile_rows: int = 8) -> jnp.ndarray:
+                   tile_rows: int = 8,
+                   packed_out: bool = False) -> jnp.ndarray:
     """Fused up2 + noise + act + skip + dw/pw sepconv (+noise2) + act.
 
     Args:
         x_lo:  [N, Hl, Wl, C] low-res input (C % 128 == 0, Wl % 8 == 0).
-        skip:  [N, 2Hl, 2Wl, C] high-res skip added after up/noise/act.
+        skip:  [N, 2Hl, 2Wl, C] high-res skip added after up/noise/act —
+            or its w-packed 2-D view [N*2Hl*Wl, 2C] (free hand-off from the
+            packed encoder kernels).
         noise_up: [2Hl, 2Wl] pre-scaled per-pixel noise for the up output.
         w_dw: [3,3,1,C] (or [3,3,C]) depthwise weights; b_dw: [C].
         w_pw: [1,1,C,O] (or [C,O]) pointwise weights (O % 128 == 0).
         noise2: optional [2Hl, 2Wl] noise added after the pointwise conv.
         tile_rows: hi-res image rows per grid step (auto-shrunk for VMEM).
+        packed_out: return the w-packed [N*2Hl*Wl, 2O] view instead of NHWC
+            (the [R,O]->[R/2,2O] reshape is a real relayout on TPU; packed
+            consumers should take this directly).
 
-    Returns [N, 2Hl, 2Wl, O].
+    Returns [N, 2Hl, 2Wl, O], or [N*2Hl*Wl, 2O] when packed_out.
 
     Static-offset derivation for the kernel's step 1 (x window positions):
       hi row h_glob = base_h + r with base_h = i*T/Wl - 2 (even since
@@ -252,6 +259,9 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
     """
     N, Hl, Wl, C = x_lo.shape
     Hh, Wh = 2 * Hl, 2 * Wl
+    if skip.ndim == 2:
+        assert skip.shape == (N * Hh * Wl, 2 * C), (skip.shape, x_lo.shape)
+        skip = skip.reshape(N, Hh, Wh, C)
     if w_dw.ndim == 4:
         w_dw = w_dw[:, :, 0, :]
     if w_pw.ndim == 4:
@@ -286,7 +296,8 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
             eligible = False
 
     if not eligible:
-        return _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2)
+        y = _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2)
+        return y.reshape(NR, 2 * y.shape[-1]) if packed_out else y
 
     use_noise2 = noise2 is not None
     x2d = x_lo.reshape(NXL, C)
@@ -339,4 +350,4 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         interpret=interpret,
     )(x2d, s2d, nz_win, w_dw.astype(x_lo.dtype),
       b_dw.reshape(1, C).astype(x_lo.dtype), w_pw.astype(x_lo.dtype), nz2)
-    return out2d.reshape(N, Hh, Wh, O)
+    return out2d if packed_out else out2d.reshape(N, Hh, Wh, O)

@@ -137,3 +137,20 @@ def test_kernel_path_is_taken(monkeypatch):
     x, w_dw, b_dw, w_pw = _rand_inputs((6, 16, 32, 24, 16), seed=6)
     fused_sepconv(x, w_dw, b_dw, w_pw, None, interpret=True)
     assert calls
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 32, 128, 64),
+                                   (4, 16, 32, 128, 128)])
+def test_fused_block_packed_out(shape):
+    """packed_out must equal the NHWC result viewed w-packed (the in-kernel
+    [tile, O] -> [tile/2, 2O] relayout)."""
+    _assert_kernel_eligible(shape)
+    N, H, W, C, O = shape
+    x, w_dw, b_dw, w_pw = _rand_inputs(shape, seed=5)
+    want = np.asarray(
+        fused_block(x, w_dw, b_dw, w_pw, interpret=True)
+    ).reshape(N * H * (W // 2), 2 * O)
+    got = np.asarray(fused_block(x, w_dw, b_dw, w_pw, interpret=True,
+                                 packed_out=True))
+    assert got.shape == (N * H * (W // 2), 2 * O)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
