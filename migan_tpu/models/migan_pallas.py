@@ -38,7 +38,7 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from ..ops import conv2d, upsample2d
-from ..ops.pallas.packedblock import blockdiag2
+from ..ops.pallas.packedblock import fused_block_packed, blockdiag2
 from ..ops.pallas.sepconv import fused_block
 from ..ops.pallas.upblock import fused_up_block
 from ..ops.pallas.downblock import fused_down_block
@@ -46,7 +46,7 @@ from .migan_inference import (
     GeneratorConfig, ACT, resample_filter, _noise_for,
     sep_conv_apply, encoder_block_apply, _conv1x1_apply,
 )
-from .migan_fold import fold, unfold, fold_stage_params, _sep_folded
+from .migan_fold import fold, unfold, fold_stage_params
 
 Params = Dict[str, Any]
 
@@ -102,19 +102,25 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
         y, p_et["conv1"]["conv1"]["weight"], p_et["conv1"]["conv1"]["bias"],
         p_et["conv1"]["conv2"]["weight"], interpret=interpret,
         packed_out=True)
-    z = fused_down_block(
+    z_p = fused_down_block(
         feat_p, p_et["conv2"]["conv1"]["weight"],
         p_et["conv2"]["conv1"]["bias"], p_et["conv2"]["conv2"]["weight"],
-        interpret=interpret, shape=(Nf, Ht, Wt))
+        interpret=interpret, shape=(Nf, Ht, Wt), packed_out=True)
 
-    # ---- second-to-top encoder stage: batch-folded XLA -----------------
-    # Staying folded here consumes the down-block's folded output directly
-    # (the unfold transpose at the 512/256 frontier measured ~15 ms at
-    # bs=128) and hands the synthesis side a folded skip.
+    # ---- second-to-top encoder stage: packed Pallas, still folded ------
+    # The down-block hands over packed rows, so this stage's sepconv and
+    # down-sampler chain with zero relayout; only its lo-res exit (a small
+    # 128-res tensor) returns to XLA layouts.
     mid_res = top_res // 2
     p_em = fold_stage_params(enc[f"b{mid_res}"])
-    feat_mid_f = _sep_folded(p_em["conv1"], z, f)
-    z = _sep_folded(p_em["conv2"], feat_mid_f, f, down=2)
+    feat_mid_p = fused_block_packed(
+        z_p, Nf, mid_res, mid_res,
+        p_em["conv1"]["conv1"]["weight"], p_em["conv1"]["conv1"]["bias"],
+        p_em["conv1"]["conv2"]["weight"], interpret=interpret)
+    z = fused_down_block(
+        feat_mid_p, p_em["conv2"]["conv1"]["weight"],
+        p_em["conv2"]["conv1"]["bias"], p_em["conv2"]["conv2"]["weight"],
+        interpret=interpret, shape=(Nf, mid_res, mid_res))
     z = unfold(z)
 
     # ---- remaining encoder stages (standard XLA) -----------------------
@@ -139,27 +145,43 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
         img = upsample2d(img, f)
         img = img + _conv1x1_apply(p["torgb"], zz)
 
-    # ---- second-to-top synthesis stage: batch-folded XLA ---------------
-    # (folding at the small 128-res tensors is cheap; the folded skip from
-    # the encoder then joins with no transposes)
+    # ---- second-to-top synthesis stage: packed Pallas, still folded ----
+    # conv1's low-res half runs as small folded XLA convs at quarter res;
+    # the up-sampled half + skip + conv2 is one kernel whose output stays
+    # packed for both the torgb matmul and the top stage's conv1.
     p_sm = fold_stage_params(syn[f"b{mid_res}"])
     zz = fold(zz)
     img = fold(img)
-    zz = _sep_folded(p_sm["conv1"], zz, f, up=2, use_noise=True)
-    zz = zz + feat_mid_f
-    zz = _sep_folded(p_sm["conv2"], zz, f, use_noise=True)
+    c_in = zz.shape[-1]
+    k = p_sm["conv1"]["conv1"]["weight"].shape[0]
+    t = conv2d(zz, p_sm["conv1"]["conv1"]["weight"], padding=k // 2,
+               groups=c_in)
+    t = ACT(t + p_sm["conv1"]["conv1"]["bias"].astype(t.dtype))
+    t = conv2d(t, p_sm["conv1"]["conv2"]["weight"])
+    n1m = _noise_for(p_sm["conv1"], mid_res, mid_res)
+    n2m = _noise_for(p_sm["conv2"], mid_res, mid_res)
+    zz_p = fused_up_block(
+        t, feat_mid_p, n1m,
+        p_sm["conv2"]["conv1"]["weight"], p_sm["conv2"]["conv1"]["bias"],
+        p_sm["conv2"]["conv2"]["weight"], n2m, interpret=interpret,
+        packed_out=True)
+    w_rgb_m = blockdiag2(p_sm["torgb"]["weight"]).astype(zz_p.dtype)
+    b_rgb_m = jnp.tile(p_sm["torgb"]["bias"], (2,)).astype(zz_p.dtype)
+    y_m = zz_p @ w_rgb_m + b_rgb_m
     img = upsample2d(img, f)
-    img = img + _conv1x1_apply(p_sm["torgb"], zz)
+    img = img + y_m.reshape(img.shape).astype(img.dtype)
 
     # ---- synthesis top stage: packed Pallas chain ----------------------
-    # conv1 low-res half (folded dw + pw -> folded c_top), XLA
-    c_in = zz.shape[-1]
-    k = p_st["conv1"]["conv1"]["weight"].shape[0]
-    t = conv2d(zz, p_st["conv1"]["conv1"]["weight"], padding=k // 2,
-               groups=c_in)
-    t = ACT(t + p_st["conv1"]["conv1"]["bias"].astype(t.dtype))
-    t = conv2d(t, p_st["conv1"]["conv2"]["weight"])
-    x_lo = t
+    # conv1's low-res half consumes the packed mid rows directly (dw+act+pw
+    # with no trailing act — the act runs after the upsample in the
+    # up-block); flat_out hands the up-block its flat low-res view.
+    x_lo_flat = fused_block_packed(
+        zz_p, Nf, mid_res, mid_res,
+        p_st["conv1"]["conv1"]["weight"], p_st["conv1"]["conv1"]["bias"],
+        p_st["conv1"]["conv2"]["weight"], interpret=interpret,
+        final_act=False, flat_out=True)
+    c_top_f = p_st["conv1"]["conv2"]["weight"].shape[-1]
+    x_lo = x_lo_flat.reshape(Nf, mid_res, mid_res, c_top_f)
     # conv1 hi-res half + skip + conv2, one kernel; output stays packed
     n1 = _noise_for(p_st["conv1"], top_res, top_res)
     n2 = _noise_for(p_st["conv2"], top_res, top_res)

@@ -32,7 +32,7 @@ from .sepconv import _act, _dma_for
 
 def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, out_ref,
             x_scr, x_sem, v_scr,
-            *, T: int, Wp: int, Hh: int, NR2: int):
+            *, T: int, Wp: int, Hh: int, NR2: int, packed_out: bool):
     """One grid step -> T lo-res output rows (= T pixels).
 
     Geometry (B = i*T, all mappings static in the grid index):
@@ -139,7 +139,13 @@ def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, out_ref,
         z = z * 0.125
         out = jnp.dot(z.astype(wpw_ref.dtype), wpw_ref[:],
                       preferred_element_type=jnp.float32)
-        out_ref[pl.ds(r_lo * Wp, Wp), :] = _act(out).astype(out_ref.dtype)
+        out = _act(out).astype(out_ref.dtype)
+        if packed_out:
+            # flat [Wp, O] -> w-packed [Wp/2, 2O] in VMEM
+            out = out.reshape(Wp // 2, 2 * out.shape[-1])
+            out_ref[pl.ds(r_lo * (Wp // 2), Wp // 2), :] = out
+        else:
+            out_ref[pl.ds(r_lo * Wp, Wp), :] = out
 
 
 def _xla_down_block(x, w_dw, b_dw, w_pw):
@@ -159,11 +165,13 @@ def _xla_down_block(x, w_dw, b_dw, w_pw):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_rows", "shape"))
+                   static_argnames=("interpret", "tile_rows", "shape",
+                                    "packed_out"))
 def fused_down_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                      w_pw: jnp.ndarray, interpret: bool = False,
                      tile_rows: int = 8,
-                     shape=None) -> jnp.ndarray:
+                     shape=None,
+                     packed_out: bool = False) -> jnp.ndarray:
     """Fused dw3x3+b -> act -> FIR-down2 -> pw1x1 -> act.
 
     Args:
@@ -215,13 +223,17 @@ def fused_down_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                 or 2 * T + 4 * Wp + 16 > NR2):
             eligible = False
 
+    if packed_out and (Wp % 16 or Wp // 2 % 8):
+        packed_out = False      # packed rows must pair within image rows
     if not eligible:
         if x2d_in is not None:
             x = x2d_in.reshape(N, Hh, Wh, C)
-        return _xla_down_block(x, w_dw, b_dw, w_pw)
+        y = _xla_down_block(x, w_dw, b_dw, w_pw)
+        return y.reshape(R_out // 2, 2 * O) if packed_out else y
 
     x2d = x2d_in if x2d_in is not None else x.reshape(NR2, 2 * C)
-    kernel = functools.partial(_kernel, T=T, Wp=Wp, Hh=Hh, NR2=NR2)
+    kernel = functools.partial(_kernel, T=T, Wp=Wp, Hh=Hh, NR2=NR2,
+                               packed_out=packed_out)
     L = 2 * T + 2 * Wp
     Mx = 2 * Wp + 8
 
@@ -235,9 +247,13 @@ def fused_down_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, O), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R_out, O), x.dtype),
+        out_specs=(pl.BlockSpec((T // 2, 2 * O), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) if packed_out else
+                   pl.BlockSpec((T, O), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((R_out // 2, 2 * O), x.dtype)
+                   if packed_out else
+                   jax.ShapeDtypeStruct((R_out, O), x.dtype)),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * T + 4 * Mx, 2 * C), x.dtype),  # x window
             pltpu.SemaphoreType.DMA((2,)),
@@ -246,4 +262,4 @@ def fused_down_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
         interpret=interpret,
     )(x2d, w_dw.astype(x.dtype), b_dw.reshape(1, C).astype(x.dtype),
       w_pw.astype(x.dtype))
-    return out2d.reshape(N, Hl, Wp, O)
+    return out2d if packed_out else out2d.reshape(N, Hl, Wp, O)

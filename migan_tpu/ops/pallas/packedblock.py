@@ -44,7 +44,8 @@ from .sepconv import _act, _dma_for
 
 def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, nz_ref, out_ref,
             x_scr, x_sem,
-            *, T: int, Wp: int, H: int, RP: int, use_noise: bool):
+            *, T: int, Wp: int, H: int, RP: int, use_noise: bool,
+            final_act: bool, flat_out: bool):
     """One grid step -> T packed output rows (= 2T pixels)."""
     C = wdw_ref.shape[-1]
     M = Wp + 8
@@ -119,29 +120,54 @@ def _kernel(x_hbm, wdw_ref, bdw_ref, wpw_ref, nz_ref, out_ref,
         nz = nz_ref[:].astype(jnp.float32)
         outE = outE + nz[:, 0:1]
         outO = outO + nz[:, 1:2]
-    out = jnp.concatenate([_act(outE), _act(outO)], axis=1)
+    if final_act:
+        outE = _act(outE)
+        outO = _act(outO)
+    if flat_out:
+        # interleave phases back to flat rows: [T, 2, O] -> [2T, O]
+        O = outE.shape[-1]
+        out = jnp.stack([outE, outO], axis=1).reshape(2 * T, O)
+    else:
+        out = jnp.concatenate([outE, outO], axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _xla_packed(x2d, N, H, W, w_dw, b_dw, w_pw, noise):
+def _xla_packed(x2d, N, H, W, w_dw, b_dw, w_pw, noise, final_act=True):
     """Oracle/fallback: unpack -> XLA sepconv -> repack."""
-    from .sepconv import _xla_sepconv
+    from ...ops import conv2d
+    from .sepconv import _act
 
     C = w_dw.shape[-1]
+    if w_dw.ndim == 3:
+        w_dw4 = w_dw[:, :, None, :]
+    else:
+        w_dw4 = w_dw
+    if w_pw.ndim == 2:
+        w_pw4 = w_pw[None, None]
+    else:
+        w_pw4 = w_pw
     x = x2d.reshape(N, H, W, C)
-    y = _xla_sepconv(x, w_dw, b_dw, w_pw, noise)
+    y = _act(conv2d(x, w_dw4, padding=1, groups=C) + b_dw.astype(x.dtype))
+    y = conv2d(y, w_pw4)
+    if noise is not None:
+        y = y + noise.astype(x.dtype)[None, :, :, None]
+    if final_act:
+        y = _act(y)
     O = y.shape[-1]
     return y.reshape(N * H * (W // 2), 2 * O)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("N", "H", "W", "interpret", "tile_rows"))
+                   static_argnames=("N", "H", "W", "interpret", "tile_rows",
+                                    "final_act", "flat_out"))
 def fused_block_packed(x2d: jnp.ndarray, N: int, H: int, W: int,
                        w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                        w_pw: jnp.ndarray,
                        noise: Optional[jnp.ndarray] = None,
                        interpret: bool = False,
-                       tile_rows: int = 16) -> jnp.ndarray:
+                       tile_rows: int = 16,
+                       final_act: bool = True,
+                       flat_out: bool = False) -> jnp.ndarray:
     """Fused dw3x3+b -> act -> pw1x1 (+noise) -> act, w-packed in and out.
 
     Args:
@@ -152,8 +178,13 @@ def fused_block_packed(x2d: jnp.ndarray, N: int, H: int, W: int,
         noise: optional [H, W] per-pixel additive scalar (pre-scaled),
             added after the pointwise conv (broadcast over batch/channels).
         tile_rows: image rows per grid step (auto-shrunk to the VMEM budget).
+        final_act: apply the model activation after the pointwise conv
+            (False when the caller resamples before the activation, e.g. a
+            synthesis conv1 whose act runs after the upsample).
+        flat_out: return the flat [N*H*W, O] view instead of packed (the
+            phase interleave runs in the kernel's VMEM store).
 
-    Returns [N*H*(W/2), 2*O] (packed view of [N, H, W, O]).
+    Returns [N*H*(W/2), 2*O] packed, or [N*H*W, O] when flat_out.
     """
     if w_dw.ndim == 4:
         w_dw = w_dw[:, :, 0, :]
@@ -186,7 +217,9 @@ def fused_block_packed(x2d: jnp.ndarray, N: int, H: int, W: int,
             eligible = False
 
     if not eligible:
-        return _xla_packed(x2d, N, H, W, w_dw, b_dw, w_pw, noise)
+        y = _xla_packed(x2d, N, H, W, w_dw, b_dw, w_pw, noise,
+                        final_act=final_act)
+        return y.reshape(N * H * W, O) if flat_out else y
 
     use_noise = noise is not None
     nh_blocks = Rp_img // T
@@ -196,7 +229,8 @@ def fused_block_packed(x2d: jnp.ndarray, N: int, H: int, W: int,
         nz = noise.reshape(Rp_img, 2).astype(x2d.dtype)
 
     kernel = functools.partial(_kernel, T=T, Wp=Wp, H=H, RP=RP,
-                               use_noise=use_noise)
+                               use_noise=use_noise, final_act=final_act,
+                               flat_out=flat_out)
     out2d = pl.pallas_call(
         kernel,
         grid=(RP // T,),
@@ -209,9 +243,13 @@ def fused_block_packed(x2d: jnp.ndarray, N: int, H: int, W: int,
             pl.BlockSpec((T, 2), lambda i: (i % nh_blocks, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, 2 * O), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((RP, 2 * O), x2d.dtype),
+        out_specs=(pl.BlockSpec((2 * T, O), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) if flat_out else
+                   pl.BlockSpec((T, 2 * O), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((2 * RP, O), x2d.dtype)
+                   if flat_out else
+                   jax.ShapeDtypeStruct((RP, 2 * O), x2d.dtype)),
         scratch_shapes=[
             pltpu.VMEM((2, T + 4 * M, 2 * C), x2d.dtype),
             pltpu.SemaphoreType.DMA((2,)),

@@ -64,3 +64,25 @@ def test_kernel_path_is_taken(monkeypatch):
     x, w_dw, b_dw, w_pw = _inputs(3, 16, 32, 64, 64)
     fused_down_block(x, w_dw, b_dw, w_pw, interpret=True)
     assert calls
+
+
+def test_packed_out_matches_flat():
+    """packed_out must equal the NHWC result viewed w-packed at the lo res."""
+    import numpy as np
+    import jax.numpy as jnp
+    from migan_tpu.ops.pallas.downblock import fused_down_block
+
+    N, Hh, Wh, C, O = 2, 32, 32, 128, 128
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(N, Hh, Wh, C), jnp.float32)
+    w_dw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.float32)
+    b_dw = jnp.asarray(rng.randn(C), jnp.float32)
+    w_pw = jnp.asarray(rng.randn(1, 1, C, O) * 0.3, jnp.float32)
+    want = np.asarray(fused_down_block(x, w_dw, b_dw, w_pw, interpret=True,
+                                       tile_rows=4))
+    got = np.asarray(fused_down_block(x, w_dw, b_dw, w_pw, interpret=True,
+                                      tile_rows=4, packed_out=True))
+    Hl, Wl = Hh // 2, Wh // 2
+    assert got.shape == (N * Hl * Wl // 2, 2 * O)
+    np.testing.assert_allclose(got, want.reshape(N * Hl * Wl // 2, 2 * O),
+                               rtol=1e-6, atol=1e-6)

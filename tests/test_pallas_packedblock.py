@@ -96,3 +96,25 @@ def test_blockdiag2_applies_per_phase():
                                np.asarray(xE @ w), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(packed[:, 6:]),
                                np.asarray(xO @ w), rtol=1e-5)
+
+
+@pytest.mark.parametrize("final_act", [True, False])
+def test_flat_out_and_final_act(final_act):
+    """flat_out must equal the packed result re-interleaved; final_act=False
+    must drop only the trailing activation."""
+    from migan_tpu.ops.pallas.sepconv import _act
+    from migan_tpu.ops import conv2d
+
+    N, H, W, C, O = 2, 16, 16, 128, 128
+    x, w_dw, b_dw, w_pw = _mk((N, H, W, C, O), seed=7)
+    want = _act(conv2d(x, w_dw, padding=1, groups=C)
+                + b_dw.astype(x.dtype))
+    want = conv2d(want, w_pw)
+    if final_act:
+        want = _act(want)
+    want = np.asarray(want).reshape(N * H * W, O)
+    got = np.asarray(fused_block_packed(
+        _pack(x), N, H, W, w_dw, b_dw, w_pw, interpret=True, tile_rows=4,
+        final_act=final_act, flat_out=True))
+    assert got.shape == (N * H * W, O)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
