@@ -86,58 +86,62 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     f = resample_filter()
     enc = params["encoder"]
     syn = params["synthesis"]
-    p_et = fold_stage_params(enc[f"b{top_res}"])
-    p_st = fold_stage_params(syn[f"b{top_res}"])
+    # The packed zone: top n_packed resolution stages run as chained
+    # kernels in the w-packed 2-D view (folded channels). Three levels for
+    # migan-512: 512/256/128 — below that, tensors are small and standard
+    # XLA is fine.
+    n_packed = min(3, cfg.log2res - 4)
+    packed_res = [top_res >> i for i in range(n_packed)]
+    p_enc = {r: fold_stage_params(enc[f"b{r}"]) for r in packed_res}
+    p_syn = {r: fold_stage_params(syn[f"b{r}"]) for r in packed_res}
 
-    # ---- encoder top stage: Pallas chain ------------------------------
+    # ---- encoder packed zone -------------------------------------------
     # Entry stays in the flat [N*H*W, C] view (the small 8-channel input
     # packs terribly in XLA's tiny-lane tilings — measured 45 ms at bs=128);
-    # fused_block writes its output w-packed from inside the kernel, so the
-    # packed hand-off to the down/up blocks costs no HBM round-trip.
+    # fused_block writes its output w-packed from inside the kernel, so
+    # every hand-off until the packed zone's exit costs no HBM round-trip.
     xf = fold(x)
-    Nf, Ht, Wt, Cin_f = xf.shape
-    Wp = Wt // 2
+    Nf = xf.shape[0]
+    p_et = p_enc[top_res]
     y = ACT(_flat_pw(xf, p_et["fromrgb"]["weight"], p_et["fromrgb"]["bias"]))
-    feat_p = fused_block(
+    feat_p: Dict[int, jnp.ndarray] = {}
+    feat_p[top_res] = fused_block(
         y, p_et["conv1"]["conv1"]["weight"], p_et["conv1"]["conv1"]["bias"],
         p_et["conv1"]["conv2"]["weight"], interpret=interpret,
         packed_out=True)
     z_p = fused_down_block(
-        feat_p, p_et["conv2"]["conv1"]["weight"],
+        feat_p[top_res], p_et["conv2"]["conv1"]["weight"],
         p_et["conv2"]["conv1"]["bias"], p_et["conv2"]["conv2"]["weight"],
-        interpret=interpret, shape=(Nf, Ht, Wt), packed_out=True)
-
-    # ---- second-to-top encoder stage: packed Pallas, still folded ------
-    # The down-block hands over packed rows, so this stage's sepconv and
-    # down-sampler chain with zero relayout; only its lo-res exit (a small
-    # 128-res tensor) returns to XLA layouts.
-    mid_res = top_res // 2
-    p_em = fold_stage_params(enc[f"b{mid_res}"])
-    feat_mid_p = fused_block_packed(
-        z_p, Nf, mid_res, mid_res,
-        p_em["conv1"]["conv1"]["weight"], p_em["conv1"]["conv1"]["bias"],
-        p_em["conv1"]["conv2"]["weight"], interpret=interpret)
-    z = fused_down_block(
-        feat_mid_p, p_em["conv2"]["conv1"]["weight"],
-        p_em["conv2"]["conv1"]["bias"], p_em["conv2"]["conv2"]["weight"],
-        interpret=interpret, shape=(Nf, mid_res, mid_res))
-    z = unfold(z)
+        interpret=interpret, shape=(Nf, top_res, top_res), packed_out=True)
+    for r in packed_res[1:]:
+        p_er = p_enc[r]
+        feat_p[r] = fused_block_packed(
+            z_p, Nf, r, r,
+            p_er["conv1"]["conv1"]["weight"], p_er["conv1"]["conv1"]["bias"],
+            p_er["conv1"]["conv2"]["weight"], interpret=interpret)
+        last = r == packed_res[-1]
+        z_p = fused_down_block(
+            feat_p[r], p_er["conv2"]["conv1"]["weight"],
+            p_er["conv2"]["conv1"]["bias"], p_er["conv2"]["conv2"]["weight"],
+            interpret=interpret, shape=(Nf, r, r), packed_out=not last)
+    # packed-zone exit: a small folded lo-res tensor back to XLA layouts
+    z = unfold(z_p)
 
     # ---- remaining encoder stages (standard XLA) -----------------------
     feats: Dict[int, jnp.ndarray] = {}
-    for resi in cfg.encode_res[2:-1]:
+    for resi in cfg.encode_res[n_packed:-1]:
         z, feat = encoder_block_apply(enc[f"b{resi}"], z, None, f, down=2)
         feats[resi] = feat
     z, feat = encoder_block_apply(enc["b4"], z, None, f, down=1)
     feats[4] = feat
 
-    # ---- synthesis up to the third-from-top stage (standard) -----------
+    # ---- synthesis below the packed zone (standard) --------------------
     p4 = syn["b4"]
     zz = sep_conv_apply(p4["conv1"], z, f)
     zz = zz + feats[4]
     zz = sep_conv_apply(p4["conv2"], zz, f)
     img = _conv1x1_apply(p4["torgb"], zz)
-    for res in cfg.block_res[1:-2]:
+    for res in cfg.block_res[1:-n_packed]:
         p = syn[f"b{res}"]
         zz = sep_conv_apply(p["conv1"], zz, f, up=2, use_noise=True)
         zz = zz + feats[res]
@@ -145,51 +149,53 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
         img = upsample2d(img, f)
         img = img + _conv1x1_apply(p["torgb"], zz)
 
-    # ---- second-to-top synthesis stage: packed Pallas, still folded ----
-    # conv1's low-res half runs as small folded XLA convs at quarter res;
-    # the up-sampled half + skip + conv2 is one kernel whose output stays
-    # packed for both the torgb matmul and the top stage's conv1.
-    p_sm = fold_stage_params(syn[f"b{mid_res}"])
+    # ---- synthesis packed zone -----------------------------------------
+    # Per stage r: conv1's low-res half (dw+act+pw, no trailing act — the
+    # act runs after the upsample inside the up-block kernel) consumes the
+    # previous packed rows; the up-sampled half + encoder skip + conv2 is
+    # one kernel whose output stays packed for both the next stage's conv1
+    # and the block-diag torgb matmul. The 6-channel folded image branch
+    # accumulates in XLA (packing it costs ~18 ms in tiny-lane tilings).
     zz = fold(zz)
     img = fold(img)
-    c_in = zz.shape[-1]
-    k = p_sm["conv1"]["conv1"]["weight"].shape[0]
-    t = conv2d(zz, p_sm["conv1"]["conv1"]["weight"], padding=k // 2,
-               groups=c_in)
-    t = ACT(t + p_sm["conv1"]["conv1"]["bias"].astype(t.dtype))
-    t = conv2d(t, p_sm["conv1"]["conv2"]["weight"])
-    n1m = _noise_for(p_sm["conv1"], mid_res, mid_res)
-    n2m = _noise_for(p_sm["conv2"], mid_res, mid_res)
-    zz_p = fused_up_block(
-        t, feat_mid_p, n1m,
-        p_sm["conv2"]["conv1"]["weight"], p_sm["conv2"]["conv1"]["bias"],
-        p_sm["conv2"]["conv2"]["weight"], n2m, interpret=interpret,
-        packed_out=True)
-    w_rgb_m = blockdiag2(p_sm["torgb"]["weight"]).astype(zz_p.dtype)
-    b_rgb_m = jnp.tile(p_sm["torgb"]["bias"], (2,)).astype(zz_p.dtype)
-    y_m = zz_p @ w_rgb_m + b_rgb_m
-    img = upsample2d(img, f)
-    img = img + y_m.reshape(img.shape).astype(img.dtype)
-
-    # ---- synthesis top stage: packed Pallas chain ----------------------
-    # conv1's low-res half consumes the packed mid rows directly (dw+act+pw
-    # with no trailing act — the act runs after the upsample in the
-    # up-block); flat_out hands the up-block its flat low-res view.
-    x_lo_flat = fused_block_packed(
-        zz_p, Nf, mid_res, mid_res,
-        p_st["conv1"]["conv1"]["weight"], p_st["conv1"]["conv1"]["bias"],
-        p_st["conv1"]["conv2"]["weight"], interpret=interpret,
-        final_act=False, flat_out=True)
-    c_top_f = p_st["conv1"]["conv2"]["weight"].shape[-1]
-    x_lo = x_lo_flat.reshape(Nf, mid_res, mid_res, c_top_f)
-    # conv1 hi-res half + skip + conv2, one kernel; output stays packed
-    n1 = _noise_for(p_st["conv1"], top_res, top_res)
-    n2 = _noise_for(p_st["conv2"], top_res, top_res)
-    t_p = fused_up_block(
-        x_lo, feat_p, n1,
-        p_st["conv2"]["conv1"]["weight"], p_st["conv2"]["conv1"]["bias"],
-        p_st["conv2"]["conv2"]["weight"], n2, interpret=interpret,
-        packed_out=True)
+    zz_p = None
+    for r in reversed(packed_res):
+        p_sr = p_syn[r]
+        rl = r // 2
+        if zz_p is None:
+            # lowest packed stage: conv1's low half as folded XLA convs
+            c_in = zz.shape[-1]
+            k = p_sr["conv1"]["conv1"]["weight"].shape[0]
+            t = conv2d(zz, p_sr["conv1"]["conv1"]["weight"],
+                       padding=k // 2, groups=c_in)
+            t = ACT(t + p_sr["conv1"]["conv1"]["bias"].astype(t.dtype))
+            t = conv2d(t, p_sr["conv1"]["conv2"]["weight"])
+        else:
+            t_flat = fused_block_packed(
+                zz_p, Nf, rl, rl,
+                p_sr["conv1"]["conv1"]["weight"],
+                p_sr["conv1"]["conv1"]["bias"],
+                p_sr["conv1"]["conv2"]["weight"], interpret=interpret,
+                final_act=False, flat_out=True)
+            c_r = p_sr["conv1"]["conv2"]["weight"].shape[-1]
+            t = t_flat.reshape(Nf, rl, rl, c_r)
+        n1 = _noise_for(p_sr["conv1"], r, r)
+        n2 = _noise_for(p_sr["conv2"], r, r)
+        zz_p = fused_up_block(
+            t, feat_p[r], n1,
+            p_sr["conv2"]["conv1"]["weight"], p_sr["conv2"]["conv1"]["bias"],
+            p_sr["conv2"]["conv2"]["weight"], n2, interpret=interpret,
+            packed_out=True)
+        img = upsample2d(img, f)
+        if r != top_res:
+            w_rgb_r = blockdiag2(p_sr["torgb"]["weight"]).astype(zz_p.dtype)
+            b_rgb_r = jnp.tile(p_sr["torgb"]["bias"], (2,)
+                               ).astype(zz_p.dtype)
+            y_r = zz_p @ w_rgb_r + b_rgb_r
+            img = img + y_r.reshape(img.shape).astype(img.dtype)
+    t_p = zz_p
+    p_st = p_syn[top_res]
+    Wp = top_res // 2
 
     # torgb as a packed flat matmul (block-diag per-phase weights). The
     # packed rgb rows [NR, 12] and folded NHWC bytes agree ([p, phase, c]
@@ -201,5 +207,5 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     y = t_p @ w_rgb + b_rgb                       # [NR, 12] packed rgb
     crgb = img.shape[-1]                          # 6 folded rgb channels
     y_f = y.reshape(Nf, top_res, 2 * Wp, crgb)
-    img_f = upsample2d(img, f)
-    return unfold(img_f.astype(y_f.dtype) + y_f)
+    # (img was already upsampled to top_res in the loop's last iteration)
+    return unfold(img.astype(y_f.dtype) + y_f)

@@ -208,8 +208,16 @@ def fused_block_packed(x2d: jnp.ndarray, N: int, H: int, W: int,
                 2 * (T_ + 4 * M) * 2 * C       # x window (dbuf)
                 + 2 * T_ * 2 * O)              # out (pipelined)
 
+        def stack(T_):
+            # Mosaic keeps the kernel body's f32 temporaries on a scoped
+            # VMEM stack (16 MB limit, separate from scratch): ~3.5
+            # full-width [T, 2C] f32 live values measured empirically
+            # (T=4096/C=128 fits, T=1024/C=512 does not).
+            return int(3.5 * 4 * T_ * 2 * C)
+
         budget = 12 * 1024 * 1024
-        while T > Wp and vmem(T) > budget:
+        while T > Wp and (vmem(T) > budget
+                          or stack(T) > 14_500_000):
             T //= 2
         # tiles divide images (noise window reuse + aligned seams); windows
         # must fit the array; interior tiles must never clip.

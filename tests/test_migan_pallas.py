@@ -74,3 +74,22 @@ def test_odd_batch_falls_back(params):
     want = np.asarray(generator_apply(params, x, CFG))
     got = np.asarray(generator_apply_pallas(params, x, CFG, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_path_three_level_chain():
+    """resolution 128 / ch_base 8192 reproduces migan-512's full packed
+    ladder (folded 128/256/512 over three stages, n_packed=3)."""
+    cfg = GeneratorConfig(resolution=128, ch_base=8192)
+    assert cfg.ch(128) == 64 and cfg.ch(64) == 128 and cfg.ch(32) == 256
+    assert min(3, cfg.log2res - 4) == 3
+    params = generator_init(jax.random.PRNGKey(9), cfg)
+    for blk in params["synthesis"].values():
+        for c in ("conv1", "conv2"):
+            if "noise_strength" in blk.get(c, {}):
+                blk[c]["noise_strength"] = jnp.asarray(0.3, jnp.float32)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 128, 128, 4), jnp.float32)
+    want = np.asarray(generator_apply(params, x, cfg))
+    got = np.asarray(generator_apply_pallas(params, x, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert np.median(np.abs(got - want)) < 1e-5
