@@ -88,9 +88,9 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     syn = params["synthesis"]
     # The packed zone: top n_packed resolution stages run as chained
     # kernels in the w-packed 2-D view (folded channels). Three levels for
-    # migan-512: 512/256/128 — below that, tensors are small and standard
+    # migan-512: 512/256/128/64 — below that, tensors are small and standard
     # XLA is fine.
-    n_packed = min(3, cfg.log2res - 4)
+    n_packed = min(5, cfg.log2res - 4)
     packed_res = [top_res >> i for i in range(n_packed)]
     p_enc = {r: fold_stage_params(enc[f"b{r}"]) for r in packed_res}
     p_syn = {r: fold_stage_params(syn[f"b{r}"]) for r in packed_res}
