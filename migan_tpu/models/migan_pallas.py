@@ -22,8 +22,8 @@ chaining kernels is only a win if NOTHING between them changes layout:
   synthesis top : conv1's low-res half in folded XLA -> fused_up_block
                   (FIR-up+noise+act+skip+dw+act+pw+noise+act,
                   ops/pallas/upblock.py, packed output) -> torgb as a
-                  packed flat matmul with block-diag per-phase weights
-                  (ops/pallas/packedblock.py::blockdiag2)
+                  per-phase matmul epilogue INSIDE the up-block kernel (at
+                  the top stage the feature store is skipped entirely)
 
 Numerics: identical op semantics to models/migan_inference.py (the oracle);
 parity is tested in tests/test_migan_pallas.py. Reference semantics:
@@ -38,7 +38,7 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from ..ops import conv2d, upsample2d
-from ..ops.pallas.packedblock import fused_block_packed, blockdiag2
+from ..ops.pallas.packedblock import fused_block_packed
 from ..ops.pallas.sepconv import fused_block
 from ..ops.pallas.upblock import fused_up_block
 from ..ops.pallas.downblock import fused_down_block
@@ -181,31 +181,31 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
             t = t_flat.reshape(Nf, rl, rl, c_r)
         n1 = _noise_for(p_sr["conv1"], r, r)
         n2 = _noise_for(p_sr["conv2"], r, r)
-        zz_p = fused_up_block(
+        # torgb runs as an epilogue inside the up-block kernel; at the top
+        # stage the rgb rows are the ONLY consumer, so the feature store
+        # (a full activation-tensor HBM write + XLA re-read) is skipped.
+        top = r == top_res
+        res_up = fused_up_block(
             t, feat_p[r], n1,
             p_sr["conv2"]["conv1"]["weight"], p_sr["conv2"]["conv1"]["bias"],
             p_sr["conv2"]["conv2"]["weight"], n2, interpret=interpret,
-            packed_out=True)
+            packed_out=True,
+            w_rgb=p_sr["torgb"]["weight"], b_rgb=p_sr["torgb"]["bias"],
+            emit_features=not top)
         img = upsample2d(img, f)
-        if r != top_res:
-            w_rgb_r = blockdiag2(p_sr["torgb"]["weight"]).astype(zz_p.dtype)
-            b_rgb_r = jnp.tile(p_sr["torgb"]["bias"], (2,)
-                               ).astype(zz_p.dtype)
-            y_r = zz_p @ w_rgb_r + b_rgb_r
+        if top:
+            y_rgb = res_up
+        else:
+            zz_p, y_r = res_up
             img = img + y_r.reshape(img.shape).astype(img.dtype)
-    t_p = zz_p
     p_st = p_syn[top_res]
     Wp = top_res // 2
 
-    # torgb as a packed flat matmul (block-diag per-phase weights). The
-    # packed rgb rows [NR, 12] and folded NHWC bytes agree ([p, phase, c]
-    # -> w = 2p+k), so returning to NHWC for the small 6-channel image
-    # branch is a plain reshape — packing the img branch instead costs
-    # ~18 ms in XLA's tiny-lane tilings (measured).
-    w_rgb = blockdiag2(p_st["torgb"]["weight"]).astype(t_p.dtype)
-    b_rgb = jnp.tile(p_st["torgb"]["bias"], (2,)).astype(t_p.dtype)
-    y = t_p @ w_rgb + b_rgb                       # [NR, 12] packed rgb
+    # The kernel's packed rgb rows [NR, 2*crgb] and folded NHWC bytes
+    # agree ([p, phase, c] -> w = 2p+k), so joining the small 6-channel
+    # image branch happens in NHWC via a plain reshape (packing the img
+    # branch instead costs ~18 ms in XLA's tiny-lane tilings, measured).
     crgb = img.shape[-1]                          # 6 folded rgb channels
-    y_f = y.reshape(Nf, top_res, 2 * Wp, crgb)
+    y_f = y_rgb.reshape(Nf, top_res, 2 * Wp, crgb)
     # (img was already upsampled to top_res in the loop's last iteration)
     return unfold(img.astype(y_f.dtype) + y_f)

@@ -43,11 +43,13 @@ from .sepconv import _act, _dma_for
 
 
 def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
-            out_ref,
-            x_scr, x_sem, s_scr, s_sem, t_scr,
-            *, T: int, Wl: int, Hh: int, use_noise2: bool,
-            NXL: int, NR: int):
+            *refs,
+            T: int, Wl: int, Hh: int, use_noise2: bool,
+            NXL: int, NR: int, has_rgb: bool, emit_features: bool):
     """One grid step -> T packed output rows (= 2T hi-res pixels).
+
+    refs order: [wrgb, brgb (if has_rgb)], [out (if emit_features)],
+    [rgb (if has_rgb)], then scratch x_scr/x_sem/s_scr/s_sem/t_scr.
 
     Packed row q = (img*Hh + h)*Wl + p holds hi-res pixels (h, 2p) in lanes
     [:C] and (h, 2p+1) in lanes [C:]. Wl is both the low-res width and the
@@ -61,6 +63,12 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
                             overlapping windows: 2-lane arrays can't be
                             manually DMA'd, Mosaic needs 128-aligned slices)
     """
+    it = iter(refs)
+    wrgb_ref = next(it) if has_rgb else None
+    brgb_ref = next(it) if has_rgb else None
+    out_ref = next(it) if emit_features else None
+    rgb_ref = next(it) if has_rgb else None
+    x_scr, x_sem, s_scr, s_sem, t_scr = list(it)
     C = wdw_ref.shape[-1]
     Ms = 2 * Wl
     SPAN = T + 2 * Ms                 # t rows computed per tile
@@ -190,8 +198,23 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
         nz2 = noise2_ref[:].astype(jnp.float32)
         outE = outE + nz2[:, 0:1]
         outO = outO + nz2[:, 1:2]
-    out = jnp.concatenate([_act(outE), _act(outO)], axis=1)
-    out_ref[:] = out.astype(out_ref.dtype)
+    aE = _act(outE)
+    aO = _act(outO)
+    if emit_features:
+        out = jnp.concatenate([aE, aO], axis=1)
+        out_ref[:] = out.astype(out_ref.dtype)
+    if has_rgb:
+        # fused torgb: per-phase matmul to the (folded) rgb channels; at
+        # the top stage this replaces a full re-read of the 4-ch-GB
+        # feature tensor in XLA
+        wr = wrgb_ref[:]
+        br = brgb_ref[0].astype(jnp.float32)
+        yE = jnp.dot(aE.astype(wr.dtype), wr,
+                     preferred_element_type=jnp.float32) + br
+        yO = jnp.dot(aO.astype(wr.dtype), wr,
+                     preferred_element_type=jnp.float32) + br
+        rgb = jnp.concatenate([yE, yO], axis=1)
+        rgb_ref[:] = rgb.astype(rgb_ref.dtype)
 
 
 def _act_noise(t_row, nz, C):
@@ -225,14 +248,18 @@ def _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_rows", "packed_out"))
+                   static_argnames=("interpret", "tile_rows", "packed_out",
+                                    "emit_features"))
 def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                    noise_up: jnp.ndarray,
                    w_dw: jnp.ndarray, b_dw: jnp.ndarray, w_pw: jnp.ndarray,
                    noise2: Optional[jnp.ndarray] = None,
                    interpret: bool = False,
                    tile_rows: int = 8,
-                   packed_out: bool = False) -> jnp.ndarray:
+                   packed_out: bool = False,
+                   w_rgb: Optional[jnp.ndarray] = None,
+                   b_rgb: Optional[jnp.ndarray] = None,
+                   emit_features: bool = True):
     """Fused up2 + noise + act + skip + dw/pw sepconv (+noise2) + act.
 
     Args:
@@ -248,8 +275,15 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         packed_out: return the w-packed [N*2Hl*Wl, 2O] view instead of NHWC
             (the [R,O]->[R/2,2O] reshape is a real relayout on TPU; packed
             consumers should take this directly).
+        w_rgb/b_rgb: optional fused torgb epilogue [O, Cr] / [Cr] — also
+            returns the packed rgb rows [N*2Hl*Wl, 2*Cr]. At a model's top
+            stage pass emit_features=False: the rgb rows are the only
+            consumer, and skipping the feature store saves a full
+            activation-tensor HBM write plus its XLA re-read.
 
-    Returns [N, 2Hl, 2Wl, O], or [N*2Hl*Wl, 2O] when packed_out.
+    Returns the features ([N, 2Hl, 2Wl, O], or packed when packed_out);
+    with w_rgb a tuple (features, rgb) — or just rgb when
+    emit_features=False.
 
     Static-offset derivation for the kernel's step 1 (x window positions):
       hi row h_glob = base_h + r with base_h = i*T/Wl - 2 (even since
@@ -295,9 +329,18 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                 or T + 4 * Wl > NR or T // 2 + 4 * Wl > NXL):
             eligible = False
 
+    has_rgb = w_rgb is not None
+    if has_rgb and w_rgb.ndim == 4:
+        w_rgb = w_rgb[0, 0]
     if not eligible:
         y = _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2)
-        return y.reshape(NR, 2 * y.shape[-1]) if packed_out else y
+        yp = y.reshape(NR, 2 * y.shape[-1]) if packed_out else y
+        if not has_rgb:
+            return yp
+        cr = w_rgb.shape[-1]
+        rgb = (y.reshape(NR * 2, O) @ w_rgb.astype(y.dtype)
+               + b_rgb.astype(y.dtype)).reshape(NR, 2 * cr)
+        return (yp, rgb) if emit_features else rgb
 
     use_noise2 = noise2 is not None
     x2d = x_lo.reshape(NXL, C)
@@ -320,9 +363,34 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         nz2 = jnp.zeros((Rp_img, 2), x_lo.dtype)
 
     kernel = functools.partial(_kernel, T=T, Wl=Wl, Hh=Hh,
-                               use_noise2=use_noise2, NXL=NXL, NR=NR)
+                               use_noise2=use_noise2, NXL=NXL, NR=NR,
+                               has_rgb=has_rgb, emit_features=emit_features)
 
-    out2d = pl.pallas_call(
+    out_specs = []
+    out_shape = []
+    if emit_features:
+        out_specs.append(pl.BlockSpec((T, 2 * O), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NR, 2 * O), x_lo.dtype))
+    if has_rgb:
+        cr = w_rgb.shape[-1]
+        out_specs.append(pl.BlockSpec((T, 2 * cr), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NR, 2 * cr), x_lo.dtype))
+
+    extra_args = []
+    extra_specs = []
+    if has_rgb:
+        extra_args = [w_rgb.astype(x_lo.dtype),
+                      b_rgb.reshape(1, -1).astype(x_lo.dtype)]
+        extra_specs = [
+            pl.BlockSpec((O, cr), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cr), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(NR // T,),
         in_specs=[
@@ -336,10 +404,9 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
             pl.BlockSpec((C, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 2), lambda i: (i % nh_blocks, 0),
                          memory_space=pltpu.VMEM),  # noise2
-        ],
-        out_specs=pl.BlockSpec((T, 2 * O), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NR, 2 * O), x_lo.dtype),
+        ] + extra_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((2, T // 2 + 8 * Wl, C), x_lo.dtype),   # x window
             pltpu.SemaphoreType.DMA((2,)),
@@ -349,5 +416,13 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         ],
         interpret=interpret,
     )(x2d, s2d, nz_win, w_dw.astype(x_lo.dtype),
-      b_dw.reshape(1, C).astype(x_lo.dtype), w_pw.astype(x_lo.dtype), nz2)
-    return out2d if packed_out else out2d.reshape(N, Hh, Wh, O)
+      b_dw.reshape(1, C).astype(x_lo.dtype), w_pw.astype(x_lo.dtype), nz2,
+      *extra_args)
+    if not has_rgb:
+        out2d = outs
+        return out2d if packed_out else out2d.reshape(N, Hh, Wh, O)
+    if not emit_features:
+        return outs if not isinstance(outs, (tuple, list)) else outs[0]
+    out2d, rgb2d = outs
+    feat = out2d if packed_out else out2d.reshape(N, Hh, Wh, O)
+    return feat, rgb2d

@@ -76,3 +76,42 @@ def test_kernel_path_is_taken(monkeypatch):
     fused_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw, None,
                    interpret=True)
     assert calls
+
+
+def test_rgb_epilogue_matches_separate_matmul():
+    """w_rgb/b_rgb epilogue == act-ed features @ per-phase torgb weights;
+    emit_features=False returns only the rgb rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from migan_tpu.ops.pallas.upblock import fused_up_block
+
+    N, Hl, Wl, C, O, Cr = 2, 16, 16, 128, 128, 6
+    rng = np.random.RandomState(21)
+    x_lo = jnp.asarray(rng.randn(N, Hl, Wl, C), jnp.float32)
+    skip = jnp.asarray(rng.randn(N, 2 * Hl, 2 * Wl, C), jnp.float32)
+    nz = jnp.asarray(rng.randn(2 * Hl, 2 * Wl) * 0.1, jnp.float32)
+    w_dw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.float32)
+    b_dw = jnp.asarray(rng.randn(C), jnp.float32)
+    w_pw = jnp.asarray(rng.randn(1, 1, C, O) * 0.2, jnp.float32)
+    w_rgb = jnp.asarray(rng.randn(1, 1, O, Cr) * 0.2, jnp.float32)
+    b_rgb = jnp.asarray(rng.randn(Cr) * 0.1, jnp.float32)
+
+    feat = fused_up_block(x_lo, skip, nz, w_dw, b_dw, w_pw, nz,
+                          interpret=True, packed_out=True)
+    NR = N * 2 * Hl * Wl
+    want = np.asarray(
+        (np.asarray(feat).reshape(NR * 2, O) @ np.asarray(w_rgb[0, 0])
+         + np.asarray(b_rgb)).reshape(NR, 2 * Cr))
+
+    feat2, rgb = fused_up_block(x_lo, skip, nz, w_dw, b_dw, w_pw, nz,
+                                interpret=True, packed_out=True,
+                                w_rgb=w_rgb, b_rgb=b_rgb)
+    np.testing.assert_allclose(np.asarray(feat2), np.asarray(feat))
+    np.testing.assert_allclose(np.asarray(rgb), want, rtol=1e-4, atol=1e-4)
+
+    rgb_only = fused_up_block(x_lo, skip, nz, w_dw, b_dw, w_pw, nz,
+                              interpret=True, packed_out=True,
+                              w_rgb=w_rgb, b_rgb=b_rgb,
+                              emit_features=False)
+    np.testing.assert_allclose(np.asarray(rgb_only), want,
+                               rtol=1e-4, atol=1e-4)
