@@ -103,8 +103,13 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     xf = fold(x)
     Nf = xf.shape[0]
     p_et = p_enc[top_res]
-    y = ACT(_flat_pw(xf, p_et["fromrgb"]["weight"], p_et["fromrgb"]["bias"]))
     feat_p: Dict[int, jnp.ndarray] = {}
+    # fromrgb stays an XLA flat matmul: the in-kernel wide-prologue
+    # alternative (fused_block w_pre with the 128-lane byte view) measured
+    # 51 ms vs 31.6 for matmul+kernel — the per-tile lane->sublane
+    # relayout of the prologue output costs more than the XLA pass it
+    # replaces
+    y = ACT(_flat_pw(xf, p_et["fromrgb"]["weight"], p_et["fromrgb"]["bias"]))
     feat_p[top_res] = fused_block(
         y, p_et["conv1"]["conv1"]["weight"], p_et["conv1"]["conv1"]["bias"],
         p_et["conv1"]["conv2"]["weight"], interpret=interpret,

@@ -70,10 +70,15 @@ def _dma_for(x_hbm, scratch, sem, slot, j, *, M, SZ, tile, NHW):
 
 
 def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
-            has_skip: bool, has_pre: bool, packed_out: bool):
+            has_skip: bool, has_pre: bool, packed_out: bool,
+            pre_g: int = 0):
     # positional refs layout (inputs, then out, then scratch):
     #   x_hbm, [skip_hbm], [wpre, bpre], wdw, bdw, wpw, noise,
     #   out_ref, x_scratch, x_sem, [s_scratch, s_sem]
+    # pre_g > 0: "wide prologue" — x_hbm is the [NHW/G, G*Cin=128] byte
+    # view of the small-Cin input; the pointwise prologue runs as one
+    # [*, 128] @ [128, G*C] matmul (wpre = kron(I_G, w_pre)) followed by a
+    # lane->sublane reshape whose groups are 128-aligned (Mosaic-legal).
     it = iter(refs)
     x_hbm = next(it)
     skip_hbm = next(it) if has_skip else None
@@ -93,12 +98,17 @@ def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
     n_tiles = pl.num_programs(0)
     # Margin rounded up to the sublane tiling (8) — Mosaic requires DMA
     # slice shapes/offsets aligned to it; the round-up also keeps every
-    # tap slice start static.
-    M = ((W + 1 + 7) // 8) * 8
+    # tap slice start static. Wide-prologue mode rounds to 8*G so offsets
+    # stay aligned in wide-row units too.
+    if pre_g:
+        M = ((W + 1 + 8 * pre_g - 1) // (8 * pre_g)) * (8 * pre_g)
+    else:
+        M = ((W + 1 + 7) // 8) * 8
     SZ = tile + 2 * M          # rows needed: [base - M, base + tile + M)
     base = i * tile
-    dma = lambda slot, j: _dma_for(x_hbm, scratch, sem, slot, j, M=M,
-                                   SZ=SZ, tile=tile, NHW=NHW)
+    g = pre_g if pre_g else 1
+    dma = lambda slot, j: _dma_for(x_hbm, scratch, sem, slot, j, M=M // g,
+                                   SZ=SZ // g, tile=tile // g, NHW=NHW // g)
     if has_skip:
         sdma = lambda slot, j: _dma_for(skip_hbm, s_scratch, s_sem, slot, j,
                                         M=M, SZ=SZ, tile=tile, NHW=NHW)
@@ -107,8 +117,8 @@ def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
     # full tap range); zero them once there instead of memsetting 2MB/tile.
     @pl.when(i == 0)
     def _():
-        z = jnp.zeros((2 * M, scratch.shape[-1]), scratch.dtype)
-        scratch[0, 0:2 * M] = z
+        z = jnp.zeros((2 * M // g, scratch.shape[-1]), scratch.dtype)
+        scratch[0, 0:2 * M // g] = z
         dma(0, 0).start()
         if has_skip:
             s_scratch[0, 0:2 * M] = z
@@ -117,8 +127,8 @@ def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
     @pl.when(i == n_tiles - 1)
     def _():
         slot = i % 2
-        z = jnp.zeros((2 * M, scratch.shape[-1]), scratch.dtype)
-        scratch[slot, tile + 2 * M:tile + 4 * M] = z
+        z = jnp.zeros((2 * M // g, scratch.shape[-1]), scratch.dtype)
+        scratch[slot, (tile + 2 * M) // g:(tile + 4 * M) // g] = z
         if has_skip:
             s_scratch[slot, tile + 2 * M:tile + 4 * M] = z
 
@@ -142,7 +152,14 @@ def _kernel(*refs, tile: int, H: int, W: int, NHW: int, use_noise: bool,
     # Optional fused prologue on the needed span [M, 3M + tile):
     #   z = x (+ skip) [-> act(pw_pre + b_pre)]
     z_span = None
-    if has_skip or has_pre:
+    if pre_g:
+        span_w = window[M // g:(3 * M + tile) // g, :]
+        y = jnp.dot(span_w.astype(wpre_ref.dtype), wpre_ref[:],
+                    preferred_element_type=jnp.float32)
+        C_pre = wpre_ref.shape[-1] // g
+        y = y.reshape((tile + 2 * M), C_pre)
+        z_span = _act(y + bpre_ref[0].astype(jnp.float32))
+    elif has_skip or has_pre:
         span = window[M:3 * M + tile, :]
         if has_skip:
             span = span + s_scratch.at[i % 2][M:3 * M + tile, :]
@@ -272,7 +289,16 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
 
     HW = H * W
     NHW = N * HW
-    M = ((W + 1 + 7) // 8) * 8
+    # Wide prologue: a small-Cin input (e.g. the 8-ch folded rgb+mask) is
+    # DMA'd through its free [NHW/G, 128] byte view; the prologue matmul
+    # runs with kron(I_G, w_pre) weights. Avoids both the Cin=128 DMA gate
+    # and an XLA pass materializing the prologue output.
+    pre_wide = (has_pre and not has_skip and Cin < 128 and 128 % Cin == 0)
+    G = 128 // Cin if pre_wide else 1
+    if pre_wide:
+        M = ((W + 1 + 8 * G - 1) // (8 * G)) * (8 * G)
+    else:
+        M = ((W + 1 + 7) // 8) * 8
     # tile: divides H*W, at least W+2, bounded by a VMEM window budget
     # (the budget covers every double-buffered window)
     if tile_hint:
@@ -280,12 +306,27 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
     else:
         tile = HW
         budget = 2 * 1024 * 1024 // (2 if has_skip else 1)
+
+        def stack(T_):
+            # Mosaic's scoped-VMEM stack (16 MB limit) holds the body's
+            # f32 temporaries: ~4 full-width [T, C] live values for the dw
+            # taps, plus the prologue's [T + 2M, C] z_span (and its
+            # pre-activation copy) when present.
+            sz = 4 * 4 * T_ * C
+            if has_pre or has_skip:
+                sz += 2 * 4 * (T_ + 2 * M) * C
+            return sz
+
         while (tile > 2 * W
-               and (tile + 4 * M) * Cin * x.dtype.itemsize > budget):
+               and ((tile + 4 * M) * Cin * x.dtype.itemsize > budget
+                    or tile + 2 * M > NHW
+                    or stack(tile) > 14_000_000)):
             tile //= 2
     assert HW % tile == 0 and NHW % tile == 0
 
-    if (tile + 2 * M > NHW or tile % 8 or W % 8 or Cin % 128
+    if (tile + 2 * M > NHW or tile % 8 or W % 8
+            or (Cin % 128 if not pre_wide else
+                (tile % (8 * G) or NHW % G))
             or (packed_out and (tile % 16 or W % 2))):
         # array too small / lanes or sublanes unaligned — XLA path
         # (Cin must fill 128 lanes for HBM DMA slicing; the batch-folded
@@ -303,22 +344,37 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
 
     kernel = functools.partial(_kernel, tile=tile, H=H, W=W, NHW=NHW,
                                use_noise=use_noise, has_skip=has_skip,
-                               has_pre=has_pre, packed_out=packed_out)
+                               has_pre=has_pre, packed_out=packed_out,
+                               pre_g=G if pre_wide else 0)
     nh_blocks = HW // tile
 
-    args = [x.reshape(NHW, Cin)]
+    if pre_wide:
+        args = [x.reshape(NHW // G, 128)]
+    else:
+        args = [x.reshape(NHW, Cin)]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]   # x stays in HBM
     if has_skip:
         args.append(skip.reshape(NHW, Cin))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if has_pre:
-        args += [w_pre.astype(x.dtype),
-                 b_pre.reshape(1, C).astype(x.dtype)]
-        in_specs += [
-            pl.BlockSpec((Cin, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
+        if pre_wide:
+            wp = jnp.kron(jnp.eye(G, dtype=w_pre.dtype), w_pre)
+            args += [wp.astype(x.dtype), b_pre.reshape(1, C).astype(x.dtype)]
+            in_specs += [
+                pl.BlockSpec((128, G * C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            args += [w_pre.astype(x.dtype),
+                     b_pre.reshape(1, C).astype(x.dtype)]
+            in_specs += [
+                pl.BlockSpec((Cin, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
     args += [w_dw.astype(x.dtype), b_dw.reshape(1, C).astype(x.dtype),
              w_pw.astype(x.dtype), noise_flat]
     in_specs += [
@@ -330,7 +386,8 @@ def fused_block(x: jnp.ndarray, w_dw: jnp.ndarray, b_dw: jnp.ndarray,
                      memory_space=pltpu.VMEM),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, tile + 4 * M, Cin), x.dtype),  # double-buffered
+        (pltpu.VMEM((2, (tile + 4 * M) // G, 128), x.dtype) if pre_wide
+         else pltpu.VMEM((2, tile + 4 * M, Cin), x.dtype)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if has_skip:

@@ -206,7 +206,9 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
     if has_rgb:
         # fused torgb: per-phase matmul to the (folded) rgb channels; at
         # the top stage this replaces a full re-read of the 4-ch-GB
-        # feature tensor in XLA
+        # feature tensor in XLA. The store is reshaped to wide rows
+        # [T/Wl, Wl*2cr] — a [R, 12]{1,0} HBM tensor is lane-PADDED ~10x
+        # by the (8,128) tiling, while the wide row form is unpadded.
         wr = wrgb_ref[:]
         br = brgb_ref[0].astype(jnp.float32)
         yE = jnp.dot(aE.astype(wr.dtype), wr,
@@ -276,8 +278,11 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
             (the [R,O]->[R/2,2O] reshape is a real relayout on TPU; packed
             consumers should take this directly).
         w_rgb/b_rgb: optional fused torgb epilogue [O, Cr] / [Cr] — also
-            returns the packed rgb rows [N*2Hl*Wl, 2*Cr]. At a model's top
-            stage pass emit_features=False: the rgb rows are the only
+            returns the packed rgb rows [N*2Hl*Wl, 2*Cr]. (A wide-row
+            [N*2Hl, Wl*2Cr] store would avoid HBM lane padding, but the
+            (T, 2Cr) -> (T/Wl, Wl*2Cr) VMEM relayout needs 128-aligned
+            lane groups and fails Mosaic lowering at Cr=6.) At a model's
+            top stage pass emit_features=False: the rgb rows are the only
             consumer, and skipping the feature store saves a full
             activation-tensor HBM write plus its XLA re-read.
 

@@ -154,3 +154,31 @@ def test_fused_block_packed_out(shape):
                                  packed_out=True))
     assert got.shape == (N * H * (W // 2), 2 * O)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("packed_out", [False, True])
+def test_wide_prologue_kernel_path(monkeypatch, packed_out):
+    """Small-Cin prologue (Cin=8 -> G=16 wide rows) through the kernel body,
+    matching the XLA oracle; asserts no fallback."""
+    called = []
+    orig = sepconv_mod._xla_block
+    monkeypatch.setattr(sepconv_mod, "_xla_block",
+                        lambda *a, **k: (called.append(1), orig(*a, **k))[1])
+    N, H, W, Cin, C, O = 2, 32, 32, 8, 128, 128
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(N, H, W, Cin), jnp.float32)
+    w_pre = jnp.asarray(rng.randn(1, 1, Cin, C) * 0.2, jnp.float32)
+    b_pre = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    w_dw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.float32)
+    b_dw = jnp.asarray(rng.randn(C), jnp.float32)
+    w_pw = jnp.asarray(rng.randn(1, 1, C, O) * 0.2, jnp.float32)
+
+    want = np.asarray(_xla_block(x, w_dw[:, :, 0], b_dw, w_pw[0, 0], None,
+                                 None, w_pre[0, 0], b_pre))
+    if packed_out:
+        want = want.reshape(N * H * (W // 2), 2 * O)
+    got = np.asarray(fused_block(x, w_dw, b_dw, w_pw, w_pre=w_pre,
+                                 b_pre=b_pre, interpret=True,
+                                 packed_out=packed_out))
+    assert not called, "fell back to XLA"
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
