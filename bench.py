@@ -102,10 +102,14 @@ def bench_latency_p50(iters=30):
     return float(np.median(ts))
 
 
-def bench_train_step(res=256, bs=32, warmup=2, iters=8):
+def bench_train_step(res=256, bs=16, warmup=2, iters=8):
     """Training throughput, reference flagship config: migan-256 dw+reparam
     G / D, NS + R1(every step here = worst case) on one chip.
-    (reference schedule: global batch 32 on 8 GPUs — BASELINE.md)."""
+
+    The reference schedule is GLOBAL batch 32 on 8 GPUs = 4 per device
+    (BASELINE.md); per-chip 32 exceeds single-chip memory for the R1
+    double-grad graph, so this sweeps down from 16 to the largest batch
+    that compiles."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -118,22 +122,33 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=8):
     g_cfg = MiganConfig(resolution=res, depthwise=True, reparametrize=True,
                         num_reparam_tensors=9)
     d_cfg = MiganConfig(resolution=res)
-    tcfg = TrainConfig(batch_size=bs, loss=LossConfig(r1_gamma=10.0))
-    state = init_train_state(jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg)
-    step = make_train_step(g_cfg, d_cfg, tcfg)
-    batch = {
-        "real": jnp.zeros((bs, res, res, 3), jnp.float32),
-        "mask": jnp.ones((bs, res, res, 1), jnp.float32),
-    }
-    key = jax.random.PRNGKey(1)
-    for _ in range(warmup):
-        state, stats = step(state, batch, key, do_dr1=True)
-        float(np.asarray(stats["Loss/G/loss"]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, stats = step(state, batch, key, do_dr1=True)
-    float(np.asarray(stats["Loss/G/loss"]))
-    return bs * iters / (time.perf_counter() - t0)
+
+    last_err = None
+    b = bs
+    while b >= 2:
+        try:
+            tcfg = TrainConfig(batch_size=b, loss=LossConfig(r1_gamma=10.0))
+            state = init_train_state(jax.random.PRNGKey(0), g_cfg, d_cfg,
+                                     tcfg)
+            step = make_train_step(g_cfg, d_cfg, tcfg)
+            batch = {
+                "real": jnp.zeros((b, res, res, 3), jnp.float32),
+                "mask": jnp.ones((b, res, res, 1), jnp.float32),
+            }
+            key = jax.random.PRNGKey(1)
+            for _ in range(warmup):
+                state, stats = step(state, batch, key, do_dr1=True)
+                float(np.asarray(stats["Loss/G/loss"]))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, stats = step(state, batch, key, do_dr1=True)
+            float(np.asarray(stats["Loss/G/loss"]))
+            return b * iters / (time.perf_counter() - t0)
+        except Exception as e:  # compile OOM at this batch — halve
+            print(f"# train bs {b}: {type(e).__name__}", file=sys.stderr)
+            last_err = e
+            b //= 2
+    raise last_err
 
 
 def main():
