@@ -102,14 +102,17 @@ def bench_latency_p50(iters=30):
     return float(np.median(ts))
 
 
-def bench_train_step(res=256, bs=16, warmup=2, iters=8):
+def bench_train_step(res=256, bs=32, warmup=2, iters=16):
     """Training throughput, reference flagship config: migan-256 dw+reparam
-    G / D, NS + R1(every step here = worst case) on one chip.
+    G / D, NS + R1 at the reference's lazy-reg schedule (d_reg_interval=16,
+    configs/experiment/migan_places256.yaml) on one chip, with the
+    TPU-idiomatic bf16 compute policy (f32 master weights + Adam moments;
+    LossConfig.compute_dtype — measured 2.2x f32 and loss-parity within 5%
+    in tests/test_train_step.py::test_train_step_bf16_policy).
 
     The reference schedule is GLOBAL batch 32 on 8 GPUs = 4 per device
-    (BASELINE.md); per-chip 32 exceeds single-chip memory for the R1
-    double-grad graph, so this sweeps down from 16 to the largest batch
-    that compiles."""
+    (BASELINE.md); this sweeps down from 32 to the largest batch that
+    compiles on one chip."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -127,7 +130,9 @@ def bench_train_step(res=256, bs=16, warmup=2, iters=8):
     b = bs
     while b >= 2:
         try:
-            tcfg = TrainConfig(batch_size=b, loss=LossConfig(r1_gamma=10.0))
+            tcfg = TrainConfig(batch_size=b,
+                               loss=LossConfig(r1_gamma=10.0,
+                                               compute_dtype="bfloat16"))
             state = init_train_state(jax.random.PRNGKey(0), g_cfg, d_cfg,
                                      tcfg)
             step = make_train_step(g_cfg, d_cfg, tcfg)
@@ -136,12 +141,15 @@ def bench_train_step(res=256, bs=16, warmup=2, iters=8):
                 "mask": jnp.ones((b, res, res, 1), jnp.float32),
             }
             key = jax.random.PRNGKey(1)
-            for _ in range(warmup):
+            for _ in range(warmup):  # warm both phase combinations
                 state, stats = step(state, batch, key, do_dr1=True)
                 float(np.asarray(stats["Loss/G/loss"]))
+                state, stats = step(state, batch, key, do_dr1=False)
+                float(np.asarray(stats["Loss/G/loss"]))
             t0 = time.perf_counter()
-            for _ in range(iters):
-                state, stats = step(state, batch, key, do_dr1=True)
+            for i in range(iters):
+                state, stats = step(state, batch, key,
+                                    do_dr1=(i % 16 == 0))
             float(np.asarray(stats["Loss/G/loss"]))
             return b * iters / (time.perf_counter() - t0)
         except Exception as e:  # compile OOM at this batch — halve

@@ -39,6 +39,20 @@ class KDConfig:
 class LossConfig:
     r1_gamma: float = 10.0
     kd: Optional[KDConfig] = None
+    # Mixed-precision policy: run the G/D forward+backward in this dtype
+    # ("bfloat16" on TPU) while params/optimizer stay f32 master weights —
+    # the model casts weights to the activation dtype at each layer
+    # (models/migan.py conv_layer_apply), so casting the loss INPUTS is the
+    # whole policy. Loss math on logits always runs f32. None = f32
+    # (numerically the reference's full-precision training).
+    compute_dtype: Optional[str] = None
+
+
+def _cast(compute_dtype, *xs):
+    if compute_dtype is None:
+        return xs
+    dt = jnp.dtype(compute_dtype)
+    return tuple(x.astype(dt) for x in xs)
 
 
 TeacherFn = Callable[[jnp.ndarray, jax.Array], Tuple[jnp.ndarray, Dict]]
@@ -64,6 +78,7 @@ def g_loss(
     teacher_fn: Optional[TeacherFn] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Gmain (reference loss.py:159-190). Returns (scalar loss, stats)."""
+    real, mask, erased = _cast(loss_cfg.compute_dtype, real, mask, erased)
     gen_x = jnp.concatenate([mask - 0.5, erased], axis=-1)
     k_noise, k_teacher = jax.random.split(rng)
     gen_img, inter = migan.generator_apply(
@@ -71,7 +86,8 @@ def g_loss(
         return_intermediate=True)
     combined = gen_img * (1 - mask) + real * mask
     gen_logits = migan.discriminator_apply(
-        params_D, jnp.concatenate([mask - 0.5, combined], axis=-1), d_cfg)
+        params_D, jnp.concatenate([mask - 0.5, combined], axis=-1),
+        d_cfg).astype(jnp.float32)
     loss_gan = jnp.mean(jax.nn.softplus(-gen_logits))
 
     stats = {
@@ -105,19 +121,23 @@ def d_loss(
     rng: jax.Array,
     g_cfg: migan.MiganConfig,
     d_cfg: migan.MiganConfig,
+    compute_dtype: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Dmain: fake + real terms (reference loss.py:192-221)."""
+    real, mask, erased = _cast(compute_dtype, real, mask, erased)
     gen_x = jnp.concatenate([mask - 0.5, erased], axis=-1)
     gen_img = migan.generator_apply(
         jax.lax.stop_gradient(params_G), gen_x, g_cfg, noise_mode="random",
         rng=rng)
     combined = gen_img * (1 - mask) + real * mask
     fake_logits = migan.discriminator_apply(
-        params_D, jnp.concatenate([mask - 0.5, combined], axis=-1), d_cfg)
+        params_D, jnp.concatenate([mask - 0.5, combined], axis=-1),
+        d_cfg).astype(jnp.float32)
     loss_fake = jnp.mean(jax.nn.softplus(fake_logits))
 
     real_x = jnp.concatenate([mask - 0.5, real], axis=-1)
-    real_logits = migan.discriminator_apply(params_D, real_x, d_cfg)
+    real_logits = migan.discriminator_apply(params_D, real_x,
+                                            d_cfg).astype(jnp.float32)
     loss_real = jnp.mean(jax.nn.softplus(-real_logits))
 
     stats = {
@@ -137,18 +157,21 @@ def d_r1_loss(
     mask: jnp.ndarray,
     d_cfg: migan.MiganConfig,
     r1_gamma: float,
+    compute_dtype: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Dr1 gradient penalty (reference loss.py:223-231).
 
     grad is taken w.r.t. the D *input*; the outer jax.grad over params_D
     differentiates through this inner grad (double backward).
     """
+    real, mask = _cast(compute_dtype, real, mask)
     real_x = jnp.concatenate([mask - 0.5, real], axis=-1)
 
     def d_sum(x):
-        return jnp.sum(migan.discriminator_apply(params_D, x, d_cfg))
+        return jnp.sum(migan.discriminator_apply(params_D, x,
+                                                 d_cfg).astype(jnp.float32))
 
-    r1_grads = jax.grad(d_sum)(real_x)
+    r1_grads = jax.grad(d_sum)(real_x).astype(jnp.float32)
     r1_penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
     loss = jnp.mean(r1_penalty) * (r1_gamma / 2.0)
     stats = {

@@ -231,7 +231,8 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     @jax.jit
     def d_phase(params_D, opt_D, params_G, real, mask, rng):
         def d_loss_fn(p, x, m, k):
-            return losses.d_loss(p, params_G, x, m, x * m, k, g_cfg, d_cfg)
+            return losses.d_loss(p, params_G, x, m, x * m, k, g_cfg, d_cfg,
+                                 compute_dtype=cfg.loss.compute_dtype)
 
         d_grads, d_stats = _accum_grads(d_loss_fn, params_D, (real, mask),
                                         rounds, rng=rng)
@@ -244,8 +245,9 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
         gain = cfg.d_opt.reg_interval or 1
 
         def d_r1_fn(p, x, m):
-            r1_l, r1_stats = losses.d_r1_loss(p, x, m, d_cfg,
-                                              cfg.loss.r1_gamma)
+            r1_l, r1_stats = losses.d_r1_loss(
+                p, x, m, d_cfg, cfg.loss.r1_gamma,
+                compute_dtype=cfg.loss.compute_dtype)
             return r1_l * gain, r1_stats
 
         r1_grads, r1_stats = _accum_grads(d_r1_fn, params_D, (real, mask),

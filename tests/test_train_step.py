@@ -139,3 +139,39 @@ def test_train_step_on_8_device_mesh():
     # params stay replicated
     w = new_state.params_G["encoder"]["b16"]["conv1"]["conv1"]["w_stack"]
     assert w.sharding.is_fully_replicated
+
+
+def test_train_step_bf16_policy():
+    """compute_dtype='bfloat16': f32 master params, bf16 model compute.
+
+    The step must run all phases (incl. the R1 double-grad), keep the
+    params f32, produce finite losses close to the f32 policy's on the
+    same inputs, and still freeze noise_const buffers.
+    """
+    tcfg16 = TrainConfig(batch_size=8,
+                         g_opt=OptConfig(reg_interval=4),
+                         d_opt=OptConfig(reg_interval=16),
+                         loss=LossConfig(r1_gamma=10.0,
+                                         compute_dtype="bfloat16"))
+    state = init_train_state(jax.random.PRNGKey(0), CFG_G, CFG_D, tcfg16)
+    step16 = make_train_step(CFG_G, CFG_D, tcfg16)
+    step32 = make_train_step(CFG_G, CFG_D, TCFG)
+    batch = _batch()
+    ns16, st16 = step16(state, batch, jax.random.PRNGKey(1), do_dr1=True)
+    ns32, st32 = step32(state, batch, jax.random.PRNGKey(1), do_dr1=True)
+
+    # master weights stay f32 and actually moved
+    for leaf in jax.tree_util.tree_leaves(ns16.params_G):
+        assert leaf.dtype == jnp.float32
+    assert _tree_l2_diff(ns16.params_G, state.params_G) > 0
+    assert _tree_l2_diff(ns16.params_D, state.params_D) > 0
+
+    # losses finite and near the f32 policy (bf16 has ~3 decimal digits)
+    for k in ("Loss/G/loss", "Loss/D/loss", "Loss/r1_penalty"):
+        v16, v32 = float(st16[k]), float(st32[k])
+        assert np.isfinite(v16), k
+        assert abs(v16 - v32) <= 0.05 * max(1.0, abs(v32)), (k, v16, v32)
+
+    nc0 = state.params_G["synthesis"]["b8"]["conv1"]["conv2"]["noise_const"]
+    nc1 = ns16.params_G["synthesis"]["b8"]["conv1"]["conv2"]["noise_const"]
+    np.testing.assert_array_equal(np.asarray(nc0), np.asarray(nc1))
