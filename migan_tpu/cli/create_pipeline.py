@@ -34,6 +34,10 @@ def get_args(argv=None):
     p.add_argument("--output-dir", type=Path, required=True)
     p.add_argument("--device", type=str, default="tpu")
     p.add_argument("--buckets", type=str, default="512,1024")
+    p.add_argument("--polymorphic", action="store_true",
+                   help="also export ONE shape-polymorphic program "
+                        "(symbolic H/W, like the reference ONNX dynamic "
+                        "axes) alongside the static buckets")
     return p.parse_args(argv)
 
 
@@ -62,6 +66,20 @@ def main(argv=None):
         path = args.output_dir / "models" / f"migan_pipeline_{b}.stablehlo"
         stablehlo.save(str(path), pipeline, [img, mask])
         print(f"  exported {path}")
+    if args.polymorphic:
+        # one program, symbolic H/W (reference ONNX dynamic axes analog,
+        # create_onnx_pipeline.py:293-318). The lower bound covers the
+        # reflect-pad blur's lowering requirement and the min crop size.
+        b0 = buckets[0]
+        img = jnp.zeros((1, b0, b0, 3), jnp.uint8)
+        mask = jnp.full((1, b0, b0, 1), 255, jnp.uint8)
+        lo = resolution + 4
+        path = (args.output_dir / "models"
+                / "migan_pipeline_dynamic.stablehlo")
+        stablehlo.save(str(path), pipeline, [img, mask],
+                       polymorphic_shapes=["1, h, w, 3", "1, h, w, 1"],
+                       constraints=[f"h >= {lo}", f"w >= {lo}"])
+        print(f"  exported {path} (symbolic H/W >= {lo})")
 
     img_paths = []
     for ext in (".jpg", ".jpeg", ".png"):

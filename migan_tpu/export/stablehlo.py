@@ -22,13 +22,21 @@ from jax import export as jexport
 
 
 def export_fn(fn: Callable, example_args: Sequence[jnp.ndarray],
-              polymorphic_shapes: Optional[Sequence[Optional[str]]] = None
-              ) -> bytes:
+              polymorphic_shapes: Optional[Sequence[Optional[str]]] = None,
+              constraints: Sequence[str] = ()) -> bytes:
     """Serialize jit(fn) at the example (or symbolic) shapes to StableHLO
-    bytes."""
+    bytes.
+
+    polymorphic_shapes: per-arg dim specs, e.g. "1, h, w, 3" — one program
+    serves every H/W (the analog of the reference's ONNX dynamic axes,
+    scripts/create_onnx_pipeline.py:293-318).
+    constraints: symbolic dim constraints such as "h >= 132" — needed when
+    an op's lowering must bound a dim (e.g. reflect padding).
+    """
     if polymorphic_shapes is not None:
         args_spec = jexport.symbolic_args_specs(example_args,
-                                                polymorphic_shapes)
+                                                polymorphic_shapes,
+                                                constraints=constraints)
     else:
         args_spec = [jax.ShapeDtypeStruct(a.shape, a.dtype)
                      for a in example_args]
@@ -43,9 +51,9 @@ def load_fn(data: bytes) -> Callable:
 
 
 def save(path: str, fn: Callable, example_args,
-         polymorphic_shapes=None) -> None:
+         polymorphic_shapes=None, constraints: Sequence[str] = ()) -> None:
     with open(path, "wb") as f:
-        f.write(export_fn(fn, example_args, polymorphic_shapes))
+        f.write(export_fn(fn, example_args, polymorphic_shapes, constraints))
 
 
 def load(path: str) -> Callable:

@@ -113,3 +113,31 @@ def test_pipeline_no_hole_is_identity():
     # the float32 epsilon of the normalized gaussian + uint8 truncation
     # (the reference ONNX pipeline truncates identically)
     assert np.abs(out.astype(int) - image.astype(int)).max() <= 1
+
+
+def test_pipeline_polymorphic_export():
+    """One StableHLO program with symbolic H/W (the reference ONNX dynamic
+    axes analog) must bit-match the jitted pipeline at several concrete
+    shapes, including non-aligned ones."""
+    import jax.numpy as jnp
+    from migan_tpu.export import stablehlo
+
+    def gen(x):  # stub generator at res 64 — the pipeline is under test
+        return jnp.tanh(x[..., 1:4] * 0.1)
+
+    pipeline = make_pipeline(gen, resolution=64)
+    img = jnp.zeros((1, 128, 160, 3), jnp.uint8)
+    mask = jnp.full((1, 128, 160, 1), 255, jnp.uint8)
+    data = stablehlo.export_fn(
+        pipeline, [img, mask],
+        polymorphic_shapes=["1, h, w, 3", "1, h, w, 1"],
+        constraints=["h >= 68", "w >= 68"])
+    fn = stablehlo.load_fn(data)
+    for h, w in [(160, 160), (140, 133)]:
+        rng = np.random.RandomState(h)
+        i = rng.randint(0, 255, (1, h, w, 3)).astype(np.uint8)
+        m = np.full((1, h, w, 1), 255, np.uint8)
+        m[0, 20:40, 30:60] = 0
+        got = np.asarray(fn(jnp.asarray(i), jnp.asarray(m)))
+        want = np.asarray(pipeline(jnp.asarray(i), jnp.asarray(m)))
+        np.testing.assert_array_equal(got, want)
