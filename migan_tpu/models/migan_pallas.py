@@ -33,8 +33,10 @@ and :332-352 (synthesis skips + RGB accumulation).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import conv2d, upsample2d
@@ -61,6 +63,50 @@ def _flat_pw(x: jnp.ndarray, w: jnp.ndarray, b=None) -> jnp.ndarray:
     if b is not None:
         y = y + b.astype(y.dtype)
     return y.reshape(n, h, wd, w.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_mat(w_in: int) -> np.ndarray:
+    """1-D FIR up-2 as a dense banded matrix U [w_in, 2*w_in], numerically
+    identical to ops/upfirdn2d.upsample2d with the model's [1,3,3,1] filter
+    (per-axis taps 0.25/0.75, zero-pad clipping at the edges — verified by
+    delta-response against the oracle in tests/test_migan_pallas.py)."""
+    U = np.zeros((w_in, 2 * w_in), np.float32)
+    for q in range(w_in):
+        for dm, wt in ((-1, 0.25), (0, 0.75), (1, 0.75), (2, 0.25)):
+            m = 2 * q + dm
+            if 0 <= m < 2 * w_in:
+                U[q, m] += wt
+    return U
+
+
+def _up2_planar(E: jnp.ndarray, O: jnp.ndarray):
+    """FIR up-2 of a phase-planar rgb image pair.
+
+    E/O: [Nf, C, h, wl] hold the even-w / odd-w pixel planes (w = 2p + φ).
+    The up-sample is linear, so it is four banded matmuls along lanes (the
+    w axis, phase-mixing) + one along sublanes (the h axis) — W-minor
+    layouts throughout, never an NHWC rgb tensor (whose 6-lane tiling is
+    ~21x padded on TPU and costs real HBM copies, see ROADMAP)."""
+    h, wl = E.shape[2], E.shape[3]
+    U = jnp.asarray(_up2_mat(2 * wl))           # (2wl, 4wl), true-w indexed
+    A_EE, A_EO = U[0::2, 0::2], U[0::2, 1::2]   # (wl, 2wl) each
+    A_OE, A_OO = U[1::2, 0::2], U[1::2, 1::2]
+    dt = E.dtype
+
+    def mm(x, a):
+        return jnp.einsum("nchw,wm->nchm", x, a.astype(dt),
+                          preferred_element_type=jnp.float32)
+
+    E1 = mm(E, A_EE) + mm(O, A_OE)
+    O1 = mm(E, A_EO) + mm(O, A_OO)
+    Uh = jnp.asarray(_up2_mat(h)).astype(dt)    # (h, 2h)
+
+    def mh(x):
+        return jnp.einsum("nchw,hg->ncgw", x, Uh,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    return mh(E1), mh(O1)
 
 
 def pallas_stage_eligible(cfg: GeneratorConfig, n: int) -> bool:
@@ -159,10 +205,18 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     # act runs after the upsample inside the up-block kernel) consumes the
     # previous packed rows; the up-sampled half + encoder skip + conv2 is
     # one kernel whose output stays packed for both the next stage's conv1
-    # and the block-diag torgb matmul. The 6-channel folded image branch
-    # accumulates in XLA (packing it costs ~18 ms in tiny-lane tilings).
+    # and the torgb epilogue. The 6-channel folded image branch accumulates
+    # PHASE-PLANAR (even/odd-w planes [Nf, 6, h, wl], W-minor, unpadded):
+    # the kernels store rgb planes directly at Wl % 128 == 0 levels and the
+    # FIR image pyramid is pure matmuls (_up2_planar) — no NHWC rgb tensor
+    # ever exists, killing the ~15 ms reshape+transpose exit that both an
+    # NHWC join and tiny-lane packing cost (profiled; see ROADMAP).
     zz = fold(zz)
     img = fold(img)
+    crgb = img.shape[-1]                          # 6 folded rgb channels
+    hr, wr = img.shape[1], img.shape[2]
+    P = img.reshape(Nf, hr, wr // 2, 2, crgb).transpose(0, 3, 4, 1, 2)
+    E, O = P[:, 0], P[:, 1]                       # [Nf, 6, hr, wr/2]
     zz_p = None
     for r in reversed(packed_res):
         p_sr = p_syn[r]
@@ -187,7 +241,7 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
         n1 = _noise_for(p_sr["conv1"], r, r)
         n2 = _noise_for(p_sr["conv2"], r, r)
         # torgb runs as an epilogue inside the up-block kernel; at the top
-        # stage the rgb rows are the ONLY consumer, so the feature store
+        # stage the rgb planes are the ONLY consumer, so the feature store
         # (a full activation-tensor HBM write + XLA re-read) is skipped.
         top = r == top_res
         res_up = fused_up_block(
@@ -196,21 +250,18 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
             p_sr["conv2"]["conv2"]["weight"], n2, interpret=interpret,
             packed_out=True,
             w_rgb=p_sr["torgb"]["weight"], b_rgb=p_sr["torgb"]["bias"],
-            emit_features=not top)
-        img = upsample2d(img, f)
-        if top:
-            y_rgb = res_up
-        else:
-            zz_p, y_r = res_up
-            img = img + y_r.reshape(img.shape).astype(img.dtype)
-    p_st = p_syn[top_res]
+            emit_features=not top, rgb_planar=True)
+        rgb5 = res_up if top else res_up[1]
+        if not top:
+            zz_p = res_up[0]
+        E, O = _up2_planar(E, O)
+        E = E + rgb5[:, 0].astype(E.dtype)
+        O = O + rgb5[:, 1].astype(O.dtype)
     Wp = top_res // 2
 
-    # The kernel's packed rgb rows [NR, 2*crgb] and folded NHWC bytes
-    # agree ([p, phase, c] -> w = 2p+k), so joining the small 6-channel
-    # image branch happens in NHWC via a plain reshape (packing the img
-    # branch instead costs ~18 ms in XLA's tiny-lane tilings, measured).
-    crgb = img.shape[-1]                          # 6 folded rgb channels
-    y_f = y_rgb.reshape(Nf, top_res, 2 * Wp, crgb)
-    # (img was already upsampled to top_res in the loop's last iteration)
-    return unfold(img.astype(y_f.dtype) + y_f)
+    # planes -> NHWC + unfold, the program's ONLY rgb relayout: folded
+    # channel cf = j*3 + c3 holds image n = 2m + j (fold()), w = 2p + phase.
+    x = jnp.stack([E, O], axis=-1)                # (m, cf, h, p, phase)
+    x = x.reshape(Nf, 2, 3, top_res, Wp, 2)       # (m, j, c3, h, p, phase)
+    x = x.transpose(0, 1, 3, 4, 5, 2)             # (m, j, h, p, phase, c3)
+    return x.reshape(2 * Nf, top_res, 2 * Wp, 3)

@@ -45,7 +45,8 @@ from .sepconv import _act, _dma_for
 def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
             *refs,
             T: int, Wl: int, Hh: int, use_noise2: bool,
-            NXL: int, NR: int, has_rgb: bool, emit_features: bool):
+            NXL: int, NR: int, has_rgb: bool, emit_features: bool,
+            planar: bool = False):
     """One grid step -> T packed output rows (= 2T hi-res pixels).
 
     refs order: [wrgb, brgb (if has_rgb)], [out (if emit_features)],
@@ -206,17 +207,29 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
     if has_rgb:
         # fused torgb: per-phase matmul to the (folded) rgb channels; at
         # the top stage this replaces a full re-read of the 4-ch-GB
-        # feature tensor in XLA. The store is reshaped to wide rows
-        # [T/Wl, Wl*2cr] — a [R, 12]{1,0} HBM tensor is lane-PADDED ~10x
-        # by the (8,128) tiling, while the wide row form is unpadded.
+        # feature tensor in XLA.
         wr = wrgb_ref[:]
         br = brgb_ref[0].astype(jnp.float32)
         yE = jnp.dot(aE.astype(wr.dtype), wr,
                      preferred_element_type=jnp.float32) + br
         yO = jnp.dot(aO.astype(wr.dtype), wr,
                      preferred_element_type=jnp.float32) + br
-        rgb = jnp.concatenate([yE, yO], axis=1)
-        rgb_ref[:] = rgb.astype(rgb_ref.dtype)
+        if not planar:
+            # packed store [T, 2cr] — a [R, 12]{1,0} HBM tensor is
+            # lane-PADDED ~10x by the (8,128) tiling; downstream XLA pays
+            # ~17 ms reshaping+transposing it to NHWC at 512-res/bs128.
+            rgb = jnp.concatenate([yE, yO], axis=1)
+            rgb_ref[:] = rgb.astype(rgb_ref.dtype)
+        else:
+            # PLANAR store [1, 2, cr, nh, Wl] (phase, channel, h, packed-w):
+            # an in-VMEM f32 transpose + 128-aligned lane->sublane reshape
+            # (Wl % 128 == 0 gated by the host) makes the HBM tensor
+            # UNPADDED W-minor planes — the downstream rgb image pyramid
+            # then runs as pure matmuls with no NHWC relayout at all.
+            cr = yE.shape[1]
+            nh = T // Wl
+            rgb_ref[0, 0] = yE.T.reshape(cr, nh, Wl).astype(rgb_ref.dtype)
+            rgb_ref[0, 1] = yO.T.reshape(cr, nh, Wl).astype(rgb_ref.dtype)
 
 
 def _act_noise(t_row, nz, C):
@@ -251,7 +264,7 @@ def _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile_rows", "packed_out",
-                                    "emit_features"))
+                                    "emit_features", "rgb_planar"))
 def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                    noise_up: jnp.ndarray,
                    w_dw: jnp.ndarray, b_dw: jnp.ndarray, w_pw: jnp.ndarray,
@@ -261,7 +274,8 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                    packed_out: bool = False,
                    w_rgb: Optional[jnp.ndarray] = None,
                    b_rgb: Optional[jnp.ndarray] = None,
-                   emit_features: bool = True):
+                   emit_features: bool = True,
+                   rgb_planar: bool = False):
     """Fused up2 + noise + act + skip + dw/pw sepconv (+noise2) + act.
 
     Args:
@@ -285,6 +299,17 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
             top stage pass emit_features=False: the rgb rows are the only
             consumer, and skipping the feature store saves a full
             activation-tensor HBM write plus its XLA re-read.
+        rgb_planar: return the rgb as W-minor PLANES [N, 2, Cr, 2Hl, Wl]
+            (phase, folded-channel, h, packed-w) instead of packed rows.
+            When Wl % 128 == 0 the kernel stores this directly (an in-VMEM
+            f32 transpose + 128-aligned lane->sublane reshape): the HBM
+            tensor is UNPADDED, where the packed [R, 2Cr] rows are
+            lane-padded 128/(2Cr) ~ 10x and XLA's downstream
+            reshape+transpose to NHWC measured ~17 ms at 512-res/bs128.
+            At smaller Wl (or in the XLA fallback) the packed rows are
+            converted host-side — tiny tensors there. Consumers run the
+            rgb image pyramid as banded matmuls on these planes
+            (models/migan_pallas), never touching an NHWC rgb layout.
 
     Returns the features ([N, 2Hl, 2Wl, O], or packed when packed_out);
     with w_rgb a tuple (features, rgb) — or just rgb when
@@ -337,6 +362,12 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
     has_rgb = w_rgb is not None
     if has_rgb and w_rgb.ndim == 4:
         w_rgb = w_rgb[0, 0]
+
+    def to_planar(rgb2d, cr):
+        # packed rows [NR, 2cr] (lanes = [E cr | O cr]) -> planes
+        # [N, 2, cr, Hh, Wl]; rows are (n, h, p) so this is one transpose.
+        return rgb2d.reshape(N, Hh, Wl, 2, cr).transpose(0, 3, 4, 1, 2)
+
     if not eligible:
         y = _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2)
         yp = y.reshape(NR, 2 * y.shape[-1]) if packed_out else y
@@ -345,6 +376,8 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         cr = w_rgb.shape[-1]
         rgb = (y.reshape(NR * 2, O) @ w_rgb.astype(y.dtype)
                + b_rgb.astype(y.dtype)).reshape(NR, 2 * cr)
+        if rgb_planar:
+            rgb = to_planar(rgb, cr)
         return (yp, rgb) if emit_features else rgb
 
     use_noise2 = noise2 is not None
@@ -367,9 +400,14 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
     else:
         nz2 = jnp.zeros((Rp_img, 2), x_lo.dtype)
 
+    # Planar rgb store needs 128-aligned lane groups for the in-kernel
+    # (cr, T) -> (cr, nh, Wl) reshape; smaller Wl converts host-side.
+    planar_store = has_rgb and rgb_planar and Wl % 128 == 0
+
     kernel = functools.partial(_kernel, T=T, Wl=Wl, Hh=Hh,
                                use_noise2=use_noise2, NXL=NXL, NR=NR,
-                               has_rgb=has_rgb, emit_features=emit_features)
+                               has_rgb=has_rgb, emit_features=emit_features,
+                               planar=planar_store)
 
     out_specs = []
     out_shape = []
@@ -379,9 +417,19 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         out_shape.append(jax.ShapeDtypeStruct((NR, 2 * O), x_lo.dtype))
     if has_rgb:
         cr = w_rgb.shape[-1]
-        out_specs.append(pl.BlockSpec((T, 2 * cr), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((NR, 2 * cr), x_lo.dtype))
+        if planar_store:
+            nh = T // Wl
+            nhb = Rp_img // T
+            out_specs.append(pl.BlockSpec(
+                (1, 2, cr, nh, Wl),
+                lambda i: (i // nhb, 0, 0, i % nhb, 0),
+                memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((N, 2, cr, Hh, Wl),
+                                                  x_lo.dtype))
+        else:
+            out_specs.append(pl.BlockSpec((T, 2 * cr), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((NR, 2 * cr), x_lo.dtype))
 
     extra_args = []
     extra_specs = []
@@ -427,7 +475,12 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         out2d = outs
         return out2d if packed_out else out2d.reshape(N, Hh, Wh, O)
     if not emit_features:
-        return outs if not isinstance(outs, (tuple, list)) else outs[0]
-    out2d, rgb2d = outs
+        rgb = outs if not isinstance(outs, (tuple, list)) else outs[0]
+        if rgb_planar and not planar_store:
+            rgb = to_planar(rgb, cr)
+        return rgb
+    out2d, rgb = outs
     feat = out2d if packed_out else out2d.reshape(N, Hh, Wh, O)
-    return feat, rgb2d
+    if rgb_planar and not planar_store:
+        rgb = to_planar(rgb, cr)
+    return feat, rgb

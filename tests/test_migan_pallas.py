@@ -93,3 +93,26 @@ def test_pallas_path_three_level_chain():
     got = np.asarray(generator_apply_pallas(params, x, cfg, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert np.median(np.abs(got - want)) < 1e-5
+
+
+def test_up2_planar_matches_upsample2d():
+    """The phase-planar FIR pyramid step (banded matmuls) must be
+    numerically identical to ops/upfirdn2d.upsample2d on the same image."""
+    import numpy as np
+    import jax.numpy as jnp
+    from migan_tpu.ops.filters import setup_filter
+    from migan_tpu.ops import upsample2d
+    from migan_tpu.models.migan_pallas import _up2_planar
+
+    rng = np.random.RandomState(11)
+    Nf, C, h, w = 2, 6, 8, 16
+    img = jnp.asarray(rng.randn(Nf, h, w, C), jnp.float32)
+    want = np.asarray(upsample2d(img, setup_filter([1, 3, 3, 1]), up=2))
+
+    P = img.reshape(Nf, h, w // 2, 2, C).transpose(0, 3, 4, 1, 2)
+    E, O = P[:, 0], P[:, 1]
+    E2, O2 = _up2_planar(E, O)
+    got = (jnp.stack([E2, O2], axis=-1)           # (n, c, 2h, w, phase)
+           .transpose(0, 2, 3, 4, 1)              # (n, 2h, w, phase, c)
+           .reshape(Nf, 2 * h, 2 * w, C))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)

@@ -115,3 +115,38 @@ def test_rgb_epilogue_matches_separate_matmul():
                               emit_features=False)
     np.testing.assert_allclose(np.asarray(rgb_only), want,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rgb_planar_output():
+    """rgb_planar=True returns [N, 2, Cr, Hh, Wl] phase/channel planes that
+    are exactly the transposed packed rows — via the in-kernel store at
+    Wl % 128 == 0 and the host-side conversion at small Wl."""
+    import numpy as np
+    import jax.numpy as jnp
+    from migan_tpu.ops.pallas.upblock import fused_up_block
+
+    C, O, Cr = 128, 128, 6
+    rng = np.random.RandomState(7)
+    w_dw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.float32)
+    b_dw = jnp.asarray(rng.randn(C), jnp.float32)
+    w_pw = jnp.asarray(rng.randn(1, 1, C, O) * 0.2, jnp.float32)
+    w_rgb = jnp.asarray(rng.randn(1, 1, O, Cr) * 0.2, jnp.float32)
+    b_rgb = jnp.asarray(rng.randn(Cr) * 0.1, jnp.float32)
+
+    for N, Hl, Wl in [(2, 8, 128),   # kernel planar store path
+                      (2, 8, 16)]:   # host conversion path (Wl % 128 != 0)
+        x_lo = jnp.asarray(rng.randn(N, Hl, Wl, C), jnp.float32)
+        skip = jnp.asarray(rng.randn(N, 2 * Hl, 2 * Wl, C), jnp.float32)
+        nz = jnp.asarray(rng.randn(2 * Hl, 2 * Wl) * 0.1, jnp.float32)
+        _, packed = fused_up_block(x_lo, skip, nz, w_dw, b_dw, w_pw, nz,
+                                   interpret=True, packed_out=True,
+                                   w_rgb=w_rgb, b_rgb=b_rgb)
+        _, planar = fused_up_block(x_lo, skip, nz, w_dw, b_dw, w_pw, nz,
+                                   interpret=True, packed_out=True,
+                                   w_rgb=w_rgb, b_rgb=b_rgb,
+                                   rgb_planar=True)
+        assert planar.shape == (N, 2, Cr, 2 * Hl, Wl)
+        want = (np.asarray(packed).reshape(N, 2 * Hl, Wl, 2, Cr)
+                .transpose(0, 3, 4, 1, 2))
+        np.testing.assert_allclose(np.asarray(planar), want,
+                                   rtol=1e-5, atol=1e-5)
