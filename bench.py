@@ -72,6 +72,49 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     return best, best_bs
 
 
+def bench_migan256(batch_sizes=(128, 256), warmup=3, iters=10):
+    """The reference's primary (mobile) model at 256 res: the packed
+    Pallas chain runs UNFOLDED there (c_top = 128 fills the lanes
+    directly; models/migan_pallas._fold_factor). Measured 1595 vs 1127
+    img/s for the standard XLA path at bs=256 (which OOMs at bs=512)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from migan_tpu.models.migan_inference import (
+        GeneratorConfig, generator_init,
+    )
+    from migan_tpu.models.migan_pallas import generator_apply_pallas
+
+    cfg = GeneratorConfig(resolution=256)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.ndim >= 1 else p, params)
+
+    @jax.jit
+    def fwd(params, x):
+        return generator_apply_pallas(params, x, cfg)
+
+    @jax.jit
+    def checksum(y):
+        return jnp.sum(y.astype(jnp.float32))
+
+    best = 0.0
+    for bs in batch_sizes:
+        try:
+            x = jnp.zeros((bs, 256, 256, 4), jnp.bfloat16)
+            for _ in range(warmup):
+                float(np.asarray(checksum(fwd(params, x))))
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(iters):
+                y = fwd(params, x)
+            float(np.asarray(checksum(y)))
+            best = max(best, bs * iters / (time.perf_counter() - t0))
+        except Exception as e:  # compile OOM at large batch
+            print(f"# 256 batch {bs}: {type(e).__name__}", file=sys.stderr)
+    return best
+
+
 def bench_latency_p50(iters=30):
     """p50 single-image latency (bs=1), the BASELINE.json secondary metric."""
     import jax
@@ -166,6 +209,10 @@ def main():
         extra["p50_latency_ms"] = round(bench_latency_p50(), 2)
     except Exception as e:  # pragma: no cover
         print(f"# latency bench failed: {type(e).__name__}", file=sys.stderr)
+    try:
+        extra["migan256_imgs_per_sec"] = round(bench_migan256(), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# 256 bench failed: {type(e).__name__}", file=sys.stderr)
     try:
         extra["train_imgs_per_sec"] = round(bench_train_step(), 2)
     except Exception as e:  # pragma: no cover

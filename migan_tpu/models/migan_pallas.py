@@ -110,12 +110,23 @@ def _up2_planar(E: jnp.ndarray, O: jnp.ndarray):
 
 
 def pallas_stage_eligible(cfg: GeneratorConfig, n: int) -> bool:
-    """The folded top stage runs the Pallas chain when the folded channel
-    counts fill TPU lanes (the same condition under which folding applies)."""
+    """The top stage runs the Pallas chain when its channel count fills
+    TPU lanes — directly (migan-256: C=128) or after batch-folding image
+    pairs into channels (migan-512: C=64, the fold condition)."""
+    return _fold_factor(cfg, n) > 0
+
+
+def _fold_factor(cfg: GeneratorConfig, n: int) -> int:
+    """0 = chain ineligible; 1 = run unfolded; 2 = fold image pairs."""
     top_res = cfg.encode_res[0]
     c_top = cfg.ch(top_res)
-    return (c_top < 128 and (2 * c_top) % 128 == 0 and n % 2 == 0 and n >= 2
-            and top_res // 2 % 8 == 0)
+    if top_res // 2 % 8 or n < 2:
+        return 0
+    if c_top % 128 == 0:
+        return 1
+    if c_top < 128 and (2 * c_top) % 128 == 0 and n % 2 == 0:
+        return 2
+    return 0
 
 
 def generator_apply_pallas(params: Params, x: jnp.ndarray,
@@ -125,7 +136,8 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     the standard path when the geometry doesn't apply."""
     from .migan_inference import generator_apply
 
-    if not pallas_stage_eligible(cfg, x.shape[0]):
+    ff = _fold_factor(cfg, x.shape[0])
+    if ff == 0:
         return generator_apply(params, x, cfg)
 
     top_res = cfg.encode_res[0]
@@ -138,15 +150,19 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     # XLA is fine.
     n_packed = min(5, cfg.log2res - 4)
     packed_res = [top_res >> i for i in range(n_packed)]
-    p_enc = {r: fold_stage_params(enc[f"b{r}"]) for r in packed_res}
-    p_syn = {r: fold_stage_params(syn[f"b{r}"]) for r in packed_res}
+    if ff == 2:      # migan-512: fold image pairs to fill the 128 lanes
+        p_enc = {r: fold_stage_params(enc[f"b{r}"]) for r in packed_res}
+        p_syn = {r: fold_stage_params(syn[f"b{r}"]) for r in packed_res}
+    else:            # migan-256: C_top = 128 — the chain runs unfolded
+        p_enc = {r: enc[f"b{r}"] for r in packed_res}
+        p_syn = {r: syn[f"b{r}"] for r in packed_res}
 
     # ---- encoder packed zone -------------------------------------------
     # Entry stays in the flat [N*H*W, C] view (the small 8-channel input
     # packs terribly in XLA's tiny-lane tilings — measured 45 ms at bs=128);
     # fused_block writes its output w-packed from inside the kernel, so
     # every hand-off until the packed zone's exit costs no HBM round-trip.
-    xf = fold(x)
+    xf = fold(x) if ff == 2 else x
     Nf = xf.shape[0]
     p_et = p_enc[top_res]
     feat_p: Dict[int, jnp.ndarray] = {}
@@ -175,8 +191,8 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
             feat_p[r], p_er["conv2"]["conv1"]["weight"],
             p_er["conv2"]["conv1"]["bias"], p_er["conv2"]["conv2"]["weight"],
             interpret=interpret, shape=(Nf, r, r), packed_out=not last)
-    # packed-zone exit: a small folded lo-res tensor back to XLA layouts
-    z = unfold(z_p)
+    # packed-zone exit: a small (folded) lo-res tensor back to XLA layouts
+    z = unfold(z_p) if ff == 2 else z_p
 
     # ---- remaining encoder stages (standard XLA) -----------------------
     feats: Dict[int, jnp.ndarray] = {}
@@ -211,9 +227,10 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     # FIR image pyramid is pure matmuls (_up2_planar) — no NHWC rgb tensor
     # ever exists, killing the ~15 ms reshape+transpose exit that both an
     # NHWC join and tiny-lane packing cost (profiled; see ROADMAP).
-    zz = fold(zz)
-    img = fold(img)
-    crgb = img.shape[-1]                          # 6 folded rgb channels
+    if ff == 2:
+        zz = fold(zz)
+        img = fold(img)
+    crgb = img.shape[-1]                          # 3 rgb (x ff if folded)
     hr, wr = img.shape[1], img.shape[2]
     P = img.reshape(Nf, hr, wr // 2, 2, crgb).transpose(0, 3, 4, 1, 2)
     E, O = P[:, 0], P[:, 1]                       # [Nf, 6, hr, wr/2]
@@ -260,8 +277,9 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     Wp = top_res // 2
 
     # planes -> NHWC + unfold, the program's ONLY rgb relayout: folded
-    # channel cf = j*3 + c3 holds image n = 2m + j (fold()), w = 2p + phase.
+    # channel cf = j*3 + c3 holds image n = ff*m + j (fold()), w = 2p + phase
+    # (j collapses when ff == 1).
     x = jnp.stack([E, O], axis=-1)                # (m, cf, h, p, phase)
-    x = x.reshape(Nf, 2, 3, top_res, Wp, 2)       # (m, j, c3, h, p, phase)
+    x = x.reshape(Nf, ff, 3, top_res, Wp, 2)      # (m, j, c3, h, p, phase)
     x = x.transpose(0, 1, 3, 4, 5, 2)             # (m, j, h, p, phase, c3)
-    return x.reshape(2 * Nf, top_res, 2 * Wp, 3)
+    return x.reshape(ff * Nf, top_res, 2 * Wp, 3)

@@ -116,3 +116,22 @@ def test_up2_planar_matches_upsample2d():
            .transpose(0, 2, 3, 4, 1)              # (n, 2h, w, phase, c)
            .reshape(Nf, 2 * h, 2 * w, C))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_path_unfolded_matches_standard():
+    """migan-256 geometry: c_top = 128 fills the lanes directly, so the
+    packed chain runs UNFOLDED (fold factor 1) — parity vs the oracle."""
+    from migan_tpu.models.migan_pallas import _fold_factor
+
+    cfg = GeneratorConfig(resolution=64, ch_base=8192)
+    assert cfg.ch(cfg.encode_res[0]) == 128
+    assert GeneratorConfig(resolution=256).ch(256) == 128
+    assert _fold_factor(cfg, 2) == 1
+    assert _fold_factor(GeneratorConfig(resolution=256), 2) == 1
+
+    p = generator_init(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 64, 64, 4), jnp.float32)
+    want = np.asarray(generator_apply(p, x, cfg))
+    got = np.asarray(generator_apply_pallas(p, x, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
