@@ -49,8 +49,16 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32"):
 
     if model_name in ("migan-256", "migan-512"):
         from ..models.migan_inference import GeneratorConfig
-        from ..models.migan_fold import generator_apply_fast as \
-            generator_apply
+
+        if jax.default_backend() == "tpu":
+            # whole-stage Pallas chain (migan-512 folded / migan-256
+            # unfolded; falls back per-batch-geometry internally)
+            from ..models.migan_pallas import generator_apply_pallas as \
+                generator_apply
+        else:
+            # pallas_call needs a TPU; CPU runs keep the batch-folded path
+            from ..models.migan_fold import generator_apply_fast as \
+                generator_apply
 
         resolution = int(model_name.split("-")[1])
         cfg = GeneratorConfig(resolution=resolution)
