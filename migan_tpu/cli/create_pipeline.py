@@ -68,12 +68,14 @@ def main(argv=None):
         print(f"  exported {path}")
     if args.polymorphic:
         # one program, symbolic H/W (reference ONNX dynamic axes analog,
-        # create_onnx_pipeline.py:293-318). The lower bound covers the
-        # reflect-pad blur's lowering requirement and the min crop size.
+        # create_onnx_pipeline.py:293-318). The lower bound is only what
+        # the reflect-pad blur's lowering needs (pad=2 -> dim > 4), so
+        # images with a side at or even below the model resolution stay
+        # servable, like the reference's dynamic axes.
         b0 = buckets[0]
         img = jnp.zeros((1, b0, b0, 3), jnp.uint8)
         mask = jnp.full((1, b0, b0, 1), 255, jnp.uint8)
-        lo = resolution + 4
+        lo = 8
         path = (args.output_dir / "models"
                 / "migan_pipeline_dynamic.stablehlo")
         stablehlo.save(str(path), pipeline, [img, mask],

@@ -50,13 +50,16 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32"):
     if model_name in ("migan-256", "migan-512"):
         from ..models.migan_inference import GeneratorConfig
 
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and jax.device_count() == 1:
             # whole-stage Pallas chain (migan-512 folded / migan-256
             # unfolded; falls back per-batch-geometry internally)
             from ..models.migan_pallas import generator_apply_pallas as \
                 generator_apply
         else:
-            # pallas_call needs a TPU; CPU runs keep the batch-folded path
+            # pallas_call needs a TPU, and under multi-device GSPMD the
+            # Mosaic custom call has no partitioner (it would force a
+            # full-batch gather); CPU / sharded runs keep the batch-folded
+            # path, which XLA partitions cleanly.
             from ..models.migan_fold import generator_apply_fast as \
                 generator_apply
 

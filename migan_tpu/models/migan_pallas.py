@@ -120,7 +120,9 @@ def _fold_factor(cfg: GeneratorConfig, n: int) -> int:
     """0 = chain ineligible; 1 = run unfolded; 2 = fold image pairs."""
     top_res = cfg.encode_res[0]
     c_top = cfg.ch(top_res)
-    if top_res // 2 % 8 or n < 2:
+    # the packed ladder needs >= 2 levels (the single-level geometry never
+    # unpacks the down-block hand-off) and whole-sublane packed rows
+    if cfg.log2res - 4 < 2 or top_res // 2 % 8 or n < 2:
         return 0
     if c_top % 128 == 0:
         return 1
@@ -144,10 +146,9 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     f = resample_filter()
     enc = params["encoder"]
     syn = params["synthesis"]
-    # The packed zone: top n_packed resolution stages run as chained
-    # kernels in the w-packed 2-D view (folded channels). Three levels for
-    # migan-512: 512/256/128/64 — below that, tensors are small and standard
-    # XLA is fine.
+    # The packed zone: the top n_packed resolution stages run as chained
+    # kernels in the w-packed 2-D view — five levels for migan-512
+    # (512..32); below that, tensors are small and standard XLA is fine.
     n_packed = min(5, cfg.log2res - 4)
     packed_res = [top_res >> i for i in range(n_packed)]
     if ff == 2:      # migan-512: fold image pairs to fill the 128 lanes
@@ -233,7 +234,7 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
     crgb = img.shape[-1]                          # 3 rgb (x ff if folded)
     hr, wr = img.shape[1], img.shape[2]
     P = img.reshape(Nf, hr, wr // 2, 2, crgb).transpose(0, 3, 4, 1, 2)
-    E, O = P[:, 0], P[:, 1]                       # [Nf, 6, hr, wr/2]
+    E, O = P[:, 0], P[:, 1]                       # [Nf, crgb, hr, wr/2]
     zz_p = None
     for r in reversed(packed_res):
         p_sr = p_syn[r]

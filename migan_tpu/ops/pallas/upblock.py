@@ -419,10 +419,9 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         cr = w_rgb.shape[-1]
         if planar_store:
             nh = T // Wl
-            nhb = Rp_img // T
             out_specs.append(pl.BlockSpec(
                 (1, 2, cr, nh, Wl),
-                lambda i: (i // nhb, 0, 0, i % nhb, 0),
+                lambda i: (i // nh_blocks, 0, 0, i % nh_blocks, 0),
                 memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((N, 2, cr, Hh, Wl),
                                                   x_lo.dtype))

@@ -131,9 +131,11 @@ def test_pipeline_polymorphic_export():
     data = stablehlo.export_fn(
         pipeline, [img, mask],
         polymorphic_shapes=["1, h, w, 3", "1, h, w, 1"],
-        constraints=["h >= 68", "w >= 68"])
+        constraints=["h >= 8", "w >= 8"])
     fn = stablehlo.load_fn(data)
-    for h, w in [(160, 160), (140, 133)]:
+    # includes a side in [res, res+4) and a side below the model res —
+    # shape classes the reference's ONNX dynamic axes serve
+    for h, w in [(160, 160), (140, 133), (65, 200), (48, 96)]:
         rng = np.random.RandomState(h)
         i = rng.randint(0, 255, (1, h, w, 3)).astype(np.uint8)
         m = np.full((1, h, w, 1), 255, np.uint8)

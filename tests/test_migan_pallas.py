@@ -135,3 +135,20 @@ def test_pallas_path_unfolded_matches_standard():
     want = np.asarray(generator_apply(p, x, cfg))
     got = np.asarray(generator_apply_pallas(p, x, cfg, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_small_resolution_falls_back_cleanly():
+    """Configs whose packed ladder would have < 2 levels must fall back to
+    the standard path instead of crashing (regression: the widened
+    unfolded gate briefly admitted them)."""
+    from migan_tpu.models.migan_pallas import _fold_factor
+
+    for res in (16, 32):
+        cfg = GeneratorConfig(resolution=res)
+        assert _fold_factor(cfg, 2) == 0
+        p = generator_init(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, res, res, 4), jnp.float32)
+        want = np.asarray(generator_apply(p, x, cfg))
+        got = np.asarray(generator_apply_pallas(p, x, cfg, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
