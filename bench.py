@@ -217,6 +217,18 @@ def main():
         extra["train_imgs_per_sec"] = round(bench_train_step(), 2)
     except Exception as e:  # pragma: no cover
         print(f"# train bench failed: {type(e).__name__}", file=sys.stderr)
+    try:
+        # 512 finetune config (reference migan_places512.yaml, 25,000 kimg
+        # schedule). Standard path: batch-folding the training nets' top
+        # stage (ch(512)=64, half a lane) was measured 1.85x SLOWER (16.5
+        # vs 30.5 img/s, bs=8 bf16) — the tile/block-diag weight expansion
+        # runs inside the differentiated graph every step, unlike inference
+        # where the folded weights are precomputed once — so it was retired
+        # (ROADMAP.md #3).
+        extra["train512_imgs_per_sec"] = round(
+            bench_train_step(res=512, bs=8), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# train512 bench failed: {type(e).__name__}", file=sys.stderr)
     print(json.dumps({
         "metric": "migan512_inference_throughput",
         "value": round(value, 2),
