@@ -145,13 +145,22 @@ def bench_latency_p50(iters=30):
     return float(np.median(ts))
 
 
-def bench_train_step(res=256, bs=32, warmup=2, iters=16):
+def bench_train_step(res=256, bs=32, warmup=2, iters=4, steps_per_call=8):
     """Training throughput, reference flagship config: migan-256 dw+reparam
     G / D, NS + R1 at the reference's lazy-reg schedule (d_reg_interval=16,
     configs/experiment/migan_places256.yaml) on one chip, with the
     TPU-idiomatic bf16 compute policy (f32 master weights + Adam moments;
     LossConfig.compute_dtype — measured 2.2x f32 and loss-parity within 5%
     in tests/test_train_step.py::test_train_step_bf16_policy).
+
+    Uses make_fused_train_step: ONE program scanning `steps_per_call`
+    optimizer steps per dispatch (state donated in place) — throughput-
+    parity with the per-phase path (the step is device-bound; measured
+    160 vs 158 ms/step), but one dispatch per k steps keeps the tunnel
+    out of the loop. R1 runs inside via lax.cond on state.step % 16 == 0;
+    timing spans iters*steps_per_call steps = exactly iters/2 R1 rounds,
+    the schedule's amortized share. Parity with the per-phase path is
+    tested in tests/test_train_step.py::test_fused_multi_step_matches_sequential.
 
     The reference schedule is GLOBAL batch 32 on 8 GPUs = 4 per device
     (BASELINE.md); this sweeps down from 32 to the largest batch that
@@ -161,7 +170,7 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=16):
     import numpy as np
     from migan_tpu.models.migan import MiganConfig
     from migan_tpu.train.train_step import (
-        TrainConfig, OptConfig, init_train_state, make_train_step,
+        TrainConfig, OptConfig, init_train_state, make_fused_train_step,
     )
     from migan_tpu.train.loss import LossConfig
 
@@ -171,6 +180,7 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=16):
 
     last_err = None
     b = bs
+    k = steps_per_call
     while b >= 2:
         try:
             tcfg = TrainConfig(batch_size=b,
@@ -178,23 +188,21 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=16):
                                                compute_dtype="bfloat16"))
             state = init_train_state(jax.random.PRNGKey(0), g_cfg, d_cfg,
                                      tcfg)
-            step = make_train_step(g_cfg, d_cfg, tcfg)
+            step = make_fused_train_step(g_cfg, d_cfg, tcfg,
+                                         steps_per_call=k)
             batch = {
-                "real": jnp.zeros((b, res, res, 3), jnp.float32),
-                "mask": jnp.ones((b, res, res, 1), jnp.float32),
+                "real": jnp.zeros((k, b, res, res, 3), jnp.float32),
+                "mask": jnp.ones((k, b, res, res, 1), jnp.float32),
             }
-            key = jax.random.PRNGKey(1)
-            for _ in range(warmup):  # warm both phase combinations
-                state, stats = step(state, batch, key, do_dr1=True)
-                float(np.asarray(stats["Loss/G/loss"]))
-                state, stats = step(state, batch, key, do_dr1=False)
-                float(np.asarray(stats["Loss/G/loss"]))
+            rngs = jax.random.split(jax.random.PRNGKey(1), k)
+            for _ in range(warmup):  # covers both R1 branch states
+                state, stats = step(state, batch, rngs)
+                float(np.asarray(stats["Loss/G/loss"][-1]))
             t0 = time.perf_counter()
             for i in range(iters):
-                state, stats = step(state, batch, key,
-                                    do_dr1=(i % 16 == 0))
-            float(np.asarray(stats["Loss/G/loss"]))
-            return b * iters / (time.perf_counter() - t0)
+                state, stats = step(state, batch, rngs)
+            float(np.asarray(stats["Loss/G/loss"][-1]))
+            return b * k * iters / (time.perf_counter() - t0)
         except Exception as e:  # compile OOM at this batch — halve
             print(f"# train bs {b}: {type(e).__name__}", file=sys.stderr)
             last_err = e

@@ -133,14 +133,23 @@ def _fold_factor(cfg: GeneratorConfig, n: int) -> int:
 
 def generator_apply_pallas(params: Params, x: jnp.ndarray,
                            cfg: GeneratorConfig,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           out_layout: str = "nhwc") -> jnp.ndarray:
     """Forward with Pallas-fused, batch-folded top stages. Falls back to
-    the standard path when the geometry doesn't apply."""
+    the standard path when the geometry doesn't apply.
+
+    out_layout: "nhwc" (default) or "nchw". The chain's rgb pyramid is
+    phase-planar W-minor, so the NCHW exit is a single dense interleave —
+    the NHWC exit additionally pays a (~10x lane-padded) 3-channel-minor
+    tiling whenever the jit output is materialized.
+    """
+    assert out_layout in ("nhwc", "nchw")
     from .migan_inference import generator_apply
 
     ff = _fold_factor(cfg, x.shape[0])
     if ff == 0:
-        return generator_apply(params, x, cfg)
+        y = generator_apply(params, x, cfg)
+        return y.transpose(0, 3, 1, 2) if out_layout == "nchw" else y
 
     top_res = cfg.encode_res[0]
     f = resample_filter()
@@ -277,10 +286,18 @@ def generator_apply_pallas(params: Params, x: jnp.ndarray,
         O = O + rgb5[:, 1].astype(O.dtype)
     Wp = top_res // 2
 
-    # planes -> NHWC + unfold, the program's ONLY rgb relayout: folded
-    # channel cf = j*3 + c3 holds image n = ff*m + j (fold()), w = 2p + phase
+    # planes -> image, the program's ONLY rgb relayout: folded channel
+    # cf = j*3 + c3 holds image n = ff*m + j (fold()), w = 2p + phase
     # (j collapses when ff == 1).
     x = jnp.stack([E, O], axis=-1)                # (m, cf, h, p, phase)
+    if out_layout == "nchw":
+        # (m, cf=j*3+c3, h, p, phase) is ALREADY row-major NCHW order:
+        # one reshape splits cf->(j, c3) and merges (m,j)->n, (p,phase)->w.
+        # W-minor and dense (W % 128 == 0), so the jit boundary never
+        # materializes the ~10x lane-padded NHWC tiling that a 3-channel
+        # minor dim costs — the reference's own deploy artifact is NCHW
+        # (lib/model_zoo/migan_inference.py:362-369 returns torch NCHW).
+        return x.reshape(ff * Nf, 3, top_res, 2 * Wp)
     x = x.reshape(Nf, ff, 3, top_res, Wp, 2)      # (m, j, c3, h, p, phase)
     x = x.transpose(0, 1, 3, 4, 5, 2)             # (m, j, h, p, phase, c3)
     return x.reshape(ff * Nf, top_res, 2 * Wp, 3)

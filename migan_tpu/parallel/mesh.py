@@ -68,6 +68,20 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_batch_stacked(batch: Dict[str, Any], mesh: Mesh,
+                        axis: str = "data") -> Dict[str, Any]:
+    """shard_batch for [k, N, ...] stacks of k per-call batches (the
+    make_fused_train_step input): the step axis is replicated, the batch
+    axis (dim 1) sharded over `axis`; multi-host assembly as in
+    shard_batch."""
+    s = NamedSharding(mesh, P(None, axis))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
 def maybe_initialize_distributed() -> bool:
     """Env-gated multi-host init (idempotent). Set MIGAN_TPU_MULTIHOST=1
     with the standard JAX coordination env (JAX_COORDINATOR_ADDRESS /

@@ -195,7 +195,8 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     from ..models.registry import get_model, count_params
     from ..data.factory import get_dataset
     from ..data.sampler import InfiniteSampler, DataLoader
-    from ..parallel.mesh import make_mesh, shard_batch, replicate
+    from ..parallel.mesh import (make_mesh, shard_batch,
+                                 shard_batch_stacked, replicate)
 
     cfgt = cfg["train"]
     log_dir = cfgt["log_dir"]
@@ -246,7 +247,21 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
 
     mesh = make_mesh()
     state = replicate(state, mesh)
-    step_fn = make_train_step(g_cfg, d_cfg, tcfg, teacher_fn=teacher_fn)
+    # steps_per_call > 1: one donated program advances k optimizer steps
+    # per dispatch (make_fused_train_step) — throughput-neutral on one
+    # chip but keeps the host out of the loop; batches are buffered and
+    # stacked below. Default 1 = the four per-phase programs.
+    spc = int(cfgt.get("steps_per_call") or 1)
+    if spc > 1:
+        from .train_step import make_fused_train_step
+
+        fused_fn = make_fused_train_step(g_cfg, d_cfg, tcfg,
+                                         teacher_fn=teacher_fn,
+                                         steps_per_call=spc)
+        step_fn = None
+    else:
+        fused_fn = None
+        step_fn = make_train_step(g_cfg, d_cfg, tcfg, teacher_fn=teacher_fn)
 
     d_reg_interval = cfgt.get("d_reg_interval") or 0
 
@@ -272,11 +287,9 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
 
     drew_init = False
     done = False
+    step_buf: list = []  # buffered (real, mask) host batches (spc > 1)
+    key_buf: list = []
     for x, mask, _uid in loader:
-        batch = {
-            "real": jnp.asarray(x),
-            "mask": jnp.asarray(mask[..., None]),
-        }
         if not drew_init:
             # init grids (reference draw_functor isinit branch,
             # migan_default.py:99-129: reals / masks / erased sheets)
@@ -286,15 +299,41 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
                 _save_image_grid(x, osp.join(log_dir, "reals.png"))
                 _save_image_grid(m * 2 - 1, osp.join(log_dir, "masks.png"))
                 _save_image_grid(x * m, osp.join(log_dir, "erased.png"))
-        batch = shard_batch(batch, mesh)
         key, k_step = jax.random.split(key)
-        do_dr1 = (d_reg_interval > 0 and batch_idx % d_reg_interval == 0)
-        state, stats = step_fn(state, batch, k_step, do_dr1=do_dr1)
-        training_stats._default_registry.report_dict(
-            {k: float(v) for k, v in stats.items()})
-
-        cur_nimg += batch_size
-        batch_idx += 1
+        if fused_fn is not None:
+            step_buf.append((np.asarray(x), np.asarray(mask[..., None])))
+            key_buf.append(k_step)
+            if len(step_buf) < spc:
+                continue
+            stacked = shard_batch_stacked({
+                "real": np.stack([r for r, _ in step_buf]),
+                "mask": np.stack([m for _, m in step_buf]),
+            }, mesh)
+            state, sstats = fused_fn(state, stacked, jnp.stack(key_buf))
+            step_buf.clear()
+            key_buf.clear()
+            sstats = {k: np.asarray(v) for k, v in sstats.items()}
+            r1_ran = sstats.pop("Misc/r1_ran")
+            for i in range(spc):
+                row = {k: float(v[i]) for k, v in sstats.items()}
+                if r1_ran[i] < 0.5:   # R1 skipped: don't report zeros
+                    row.pop("Loss/r1_penalty", None)
+                    row.pop("Loss/D/reg", None)
+                training_stats._default_registry.report_dict(row)
+            cur_nimg += batch_size * spc
+            batch_idx += spc
+        else:
+            batch = shard_batch({
+                "real": jnp.asarray(x),
+                "mask": jnp.asarray(mask[..., None]),
+            }, mesh)
+            do_dr1 = (d_reg_interval > 0
+                      and batch_idx % d_reg_interval == 0)
+            state, stats = step_fn(state, batch, k_step, do_dr1=do_dr1)
+            training_stats._default_registry.report_dict(
+                {k: float(v) for k, v in stats.items()})
+            cur_nimg += batch_size
+            batch_idx += 1
         done = (cur_nimg >= total_kimg * 1000
                 or (max_steps is not None and batch_idx >= max_steps))
 

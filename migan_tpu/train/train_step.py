@@ -281,3 +281,124 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
         return new_state, {**g_stats, **d_stats}
 
     return train_step
+
+
+def make_fused_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
+                          cfg: TrainConfig, teacher_fn=None,
+                          steps_per_call: int = 8):
+    """ONE jitted program advancing `steps_per_call` full optimizer steps.
+
+    Why this exists: it collapses the 4 per-phase dispatches per step into
+    one dispatch per k steps with the state donated in place — the
+    standard JAX/TPU idiom for keeping the host out of the training loop
+    (multi-host pods, background data loading, dispatch-jittery links).
+    Measured on the single-chip axon setup it is throughput-NEUTRAL
+    (migan-256 bs=16 bf16: 160 ms/step for k in {1, 2, 4, 8} vs 158 ms for
+    the per-phase path — the step is device-bound, per-dispatch overhead
+    is ~1 ms, and a device trace confirms the scan body fully occupies the
+    chip), so the per-phase path remains a fine default interactively.
+    Semantics are IDENTICAL to k sequential make_train_step calls
+    (parity-tested eagerly, where both paths run the same per-op kernels,
+    in tests/test_train_step.py):
+
+      - per-step rng: callers pass `rngs` [k] keys (one per step), split
+        into (k_g, k_d) exactly like the single-step path;
+      - lazy R1 (reference migan_default.py:200-224 interval phases) runs
+        via lax.cond when (step0 + i) % d_reg_interval == 0, where step0
+        is the state's global step at call entry — the cyclic schedule is
+        now data-dependent, so ONE executable covers every phase
+        combination (both branches are compiled once, only the taken one
+        executes);
+      - stats are stacked [k] per key; R1 keys are always present, zero on
+        non-R1 steps, with "Misc/r1_ran" marking which steps ran it.
+
+    batch: dict(real=[k, N, H, W, 3], mask=[k, N, H, W, 1]).
+    Returns step_fn(state, batch, rngs) -> (state, stats); the state
+    argument is donated.
+    """
+    tx_g = make_optimizer(cfg.g_opt)
+    tx_d = make_optimizer(cfg.d_opt)
+    rounds = max(1, cfg.grad_accum_rounds)
+    interval = cfg.d_opt.reg_interval
+    k_steps = steps_per_call
+
+    def one_step(state: TrainState, real, mask, rng):
+        k_g, k_d = jax.random.split(rng)
+
+        def g_loss_fn(p, x, m, kk):
+            return losses.g_loss(p, state.params_D, x, m, x * m, kk,
+                                 g_cfg, d_cfg, cfg.loss, teacher_fn)
+
+        g_grads, g_stats = _accum_grads(g_loss_fn, state.params_G,
+                                        (real, mask), rounds, rng=k_g)
+        g_grads = _freeze_buffers(_sanitize_grads(g_grads))
+        g_updates, opt_G = tx_g.update(g_grads, state.opt_G, state.params_G)
+        params_G = optax.apply_updates(state.params_G, g_updates)
+
+        def d_loss_fn(p, x, m, kk):
+            return losses.d_loss(p, params_G, x, m, x * m, kk, g_cfg, d_cfg,
+                                 compute_dtype=cfg.loss.compute_dtype)
+
+        d_grads, d_stats = _accum_grads(d_loss_fn, state.params_D,
+                                        (real, mask), rounds, rng=k_d)
+        d_grads = _sanitize_grads(d_grads)
+        d_updates, opt_D = tx_d.update(d_grads, state.opt_D, state.params_D)
+        params_D = optax.apply_updates(state.params_D, d_updates)
+
+        def r1_branch(operand):
+            p_d, o_d = operand
+            gain = interval or 1
+
+            def d_r1_fn(p, x, m):
+                r1_l, r1_stats = losses.d_r1_loss(
+                    p, x, m, d_cfg, cfg.loss.r1_gamma,
+                    compute_dtype=cfg.loss.compute_dtype)
+                return r1_l * gain, r1_stats
+
+            r1_grads, r1_stats = _accum_grads(d_r1_fn, p_d, (real, mask),
+                                              rounds)
+            r1_grads = _sanitize_grads(r1_grads)
+            r1_updates, o_d = tx_d.update(r1_grads, o_d, p_d)
+            return (optax.apply_updates(p_d, r1_updates), o_d, r1_stats,
+                    jnp.ones((), jnp.float32))
+
+        def no_r1_branch(operand):
+            p_d, o_d = operand
+            zero = jnp.zeros((), jnp.float32)
+            return (p_d, o_d,
+                    {"Loss/r1_penalty": zero, "Loss/D/reg": zero}, zero)
+
+        if interval is not None:
+            do = (state.step % interval) == 0
+            params_D, opt_D, r1_stats, r1_ran = jax.lax.cond(
+                do, r1_branch, no_r1_branch, (params_D, opt_D))
+        else:
+            params_D, opt_D, r1_stats, r1_ran = no_r1_branch(
+                (params_D, opt_D))
+
+        nimg = state.nimg + real.shape[0]
+        params_G_ema = ema_update(params_G, state.params_G_ema, nimg, cfg)
+        new_state = TrainState(
+            params_G=params_G, params_D=params_D, params_G_ema=params_G_ema,
+            opt_G=opt_G, opt_D=opt_D, step=state.step + 1, nimg=nimg)
+        stats = {**g_stats, **d_stats, **r1_stats, "Misc/r1_ran": r1_ran}
+        return new_state, stats
+
+    def multi_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rngs: jax.Array):
+        real_k, mask_k = batch["real"], batch["mask"]
+        assert real_k.shape[0] == k_steps, (real_k.shape, k_steps)
+
+        if k_steps == 1:
+            # no point lowering a length-1 while loop
+            new_state, stats = one_step(state, real_k[0], mask_k[0], rngs[0])
+            return new_state, jax.tree_util.tree_map(
+                lambda s: s[None], stats)
+
+        def body(st, xs):
+            r, m, kk = xs
+            return one_step(st, r, m, kk)
+
+        return jax.lax.scan(body, state, (real_k, mask_k, rngs))
+
+    return jax.jit(multi_step, donate_argnums=(0,))

@@ -152,3 +152,27 @@ def test_small_resolution_falls_back_cleanly():
         want = np.asarray(generator_apply(p, x, cfg))
         got = np.asarray(generator_apply_pallas(p, x, cfg, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_nchw_exit_matches_nhwc(params):
+    """out_layout="nchw" must be the NHWC output transposed — for the
+    folded chain (ff=2), the unfolded chain (ff=1), and the fallback."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 64, 64, 4), jnp.float32)
+    nhwc = np.asarray(generator_apply_pallas(params, x, CFG, interpret=True))
+    nchw = np.asarray(generator_apply_pallas(params, x, CFG, interpret=True,
+                                             out_layout="nchw"))
+    np.testing.assert_array_equal(nchw, nhwc.transpose(0, 3, 1, 2))
+
+    cfg1 = GeneratorConfig(resolution=64, ch_base=8192)  # unfolded (ff=1)
+    p1 = generator_init(jax.random.PRNGKey(3), cfg1)
+    nhwc = np.asarray(generator_apply_pallas(p1, x, cfg1, interpret=True))
+    nchw = np.asarray(generator_apply_pallas(p1, x, cfg1, interpret=True,
+                                             out_layout="nchw"))
+    np.testing.assert_array_equal(nchw, nhwc.transpose(0, 3, 1, 2))
+
+    x1 = x[:1]  # odd batch -> standard-path fallback
+    nhwc = np.asarray(generator_apply_pallas(params, x1, CFG, interpret=True))
+    nchw = np.asarray(generator_apply_pallas(params, x1, CFG, interpret=True,
+                                             out_layout="nchw"))
+    np.testing.assert_array_equal(nchw, nhwc.transpose(0, 3, 1, 2))

@@ -86,3 +86,23 @@ def test_train_stage_smoke(smoke_cfg):
     assert glob.glob(os.path.join(log_dir, "fakes*_combined.png"))
     # tensorboard event file (reference migan_default.py:578-585 sink)
     assert glob.glob(os.path.join(log_dir, "events.out.tfevents.*"))
+
+
+def test_train_stage_steps_per_call(smoke_cfg):
+    """steps_per_call=2 drives the loop through make_fused_train_step:
+    same tick/stats/checkpoint surface, k steps per dispatch."""
+    import json
+
+    smoke_cfg["train"]["steps_per_call"] = 2
+    smoke_cfg["train"]["log_dir"] = smoke_cfg["train"]["log_dir"] + "_spc"
+    state = train_stage(smoke_cfg, max_steps=4)
+    assert int(state.step) == 4
+    log_dir = smoke_cfg["train"]["log_dir"]
+    with open(os.path.join(log_dir, "stats.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert recs and all(np.isfinite(r["Loss/G/loss"]["mean"]) for r in recs)
+    # R1 stats reported only for steps where it ran (interval 2 -> every
+    # other step: per tick of 1 call = 2 steps, num == 1, not 2)
+    assert any("Loss/r1_penalty" in r for r in recs)
+    r1_recs = [r for r in recs if "Loss/r1_penalty" in r]
+    assert all(r["Loss/r1_penalty"]["num"] <= 1.0 for r in r1_recs)

@@ -175,3 +175,87 @@ def test_train_step_bf16_policy():
     nc0 = state.params_G["synthesis"]["b8"]["conv1"]["conv2"]["noise_const"]
     nc1 = ns16.params_G["synthesis"]["b8"]["conv1"]["conv2"]["noise_const"]
     np.testing.assert_array_equal(np.asarray(nc0), np.asarray(nc1))
+
+
+def test_fused_multi_step_matches_sequential():
+    """make_fused_train_step(k) == k sequential make_train_step calls —
+    params, EMA, opt moments, step/nimg — with the same per-step keys and
+    the same R1 schedule (state.step % d_reg_interval == 0).
+
+    Runs BOTH paths under jax.disable_jit(): jitted, the fused program and
+    the four per-phase programs are different XLA compilations whose
+    fusion/association rounding differs by a few ulps, and Adam's
+    g/sqrt(v) update amplifies that chaotically on near-zero-gradient
+    elements (measured up to ~9e-3 after 4 steps) — eager mode runs the
+    identical per-op kernels in both paths, so equality is exact and the
+    test verifies exactly what is at risk: the scan/cond/rng/schedule
+    mechanics. test_fused_multi_step_compiles covers the jitted path."""
+    from migan_tpu.train.train_step import make_fused_train_step
+
+    tcfg = TrainConfig(batch_size=2,
+                       g_opt=OptConfig(reg_interval=4),
+                       d_opt=OptConfig(reg_interval=2),
+                       loss=LossConfig(r1_gamma=10.0))
+    k = 3
+    single = make_train_step(CFG_G, CFG_D, tcfg)
+    fused = make_fused_train_step(CFG_G, CFG_D, tcfg, steps_per_call=k)
+
+    batches = [_batch(n=2, seed=10 + i) for i in range(k)]
+    rngs = jax.random.split(jax.random.PRNGKey(5), k)
+    stacked = {
+        "real": jnp.stack([b["real"] for b in batches]),
+        "mask": jnp.stack([b["mask"] for b in batches]),
+    }
+
+    with jax.disable_jit():
+        state_a = init_train_state(jax.random.PRNGKey(0), CFG_G, CFG_D,
+                                   tcfg)
+        state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+        seq_r1 = []
+        for i in range(k):
+            do = int(state_a.step) % 2 == 0
+            seq_r1.append(do)
+            state_a, _ = single(state_a, batches[i], rngs[i], do_dr1=do)
+        state_b, stats = fused(state_b, stacked, rngs)
+
+    assert int(state_b.step) == int(state_a.step) == k
+    assert int(state_b.nimg) == int(state_a.nimg)
+    np.testing.assert_array_equal(np.asarray(stats["Misc/r1_ran"]),
+                                  np.float32(seq_r1))
+    for name, a, b in (("params_G", state_a.params_G, state_b.params_G),
+                       ("params_D", state_a.params_D, state_b.params_D),
+                       ("ema", state_a.params_G_ema, state_b.params_G_ema),
+                       ("opt_G", state_a.opt_G, state_b.opt_G),
+                       ("opt_D", state_a.opt_D, state_b.opt_D)):
+        for (path, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b)):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=0, atol=1e-6,
+                err_msg=f"{name}{path}")
+    assert stats["Loss/G/loss"].shape == (k,)
+
+
+def test_fused_multi_step_compiles():
+    """The jitted fused program runs, advances counters, obeys the R1
+    schedule across call boundaries, and donates cleanly."""
+    from migan_tpu.train.train_step import make_fused_train_step
+
+    tcfg = TrainConfig(batch_size=2,
+                       g_opt=OptConfig(reg_interval=4),
+                       d_opt=OptConfig(reg_interval=2),
+                       loss=LossConfig(r1_gamma=10.0))
+    k = 2
+    state = init_train_state(jax.random.PRNGKey(0), CFG_G, CFG_D, tcfg)
+    fused = make_fused_train_step(CFG_G, CFG_D, tcfg, steps_per_call=k)
+    batch = {"real": jnp.stack([_batch(n=2)["real"]] * k),
+             "mask": jnp.stack([_batch(n=2)["mask"]] * k)}
+    rngs = jax.random.split(jax.random.PRNGKey(1), k)
+    state, s1 = fused(state, batch, rngs)          # steps 0,1 -> r1 at 0
+    state, s2 = fused(state, batch, rngs)          # steps 2,3 -> r1 at 2
+    assert int(state.step) == 4 and int(state.nimg) == 8
+    np.testing.assert_array_equal(np.asarray(s1["Misc/r1_ran"]), [1.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(s2["Misc/r1_ran"]), [1.0, 0.0])
+    for kk in ("Loss/G/loss", "Loss/D/loss"):
+        assert np.isfinite(np.asarray(s1[kk])).all(), kk
+    assert s1["Loss/G/loss"].shape == (k,)  # stacked per-step stats
