@@ -259,3 +259,32 @@ def test_fused_multi_step_compiles():
     for kk in ("Loss/G/loss", "Loss/D/loss"):
         assert np.isfinite(np.asarray(s1[kk])).all(), kk
     assert s1["Loss/G/loss"].shape == (k,)  # stacked per-step stats
+
+
+def test_fused_multi_step_on_8_device_mesh():
+    """The fused k-step program under DP: stacked batch sharded on dim 1
+    (shard_batch_stacked), params replicated, state donated."""
+    from migan_tpu.parallel.mesh import shard_batch_stacked
+    from migan_tpu.train.train_step import make_fused_train_step
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    tcfg = TrainConfig(batch_size=8,
+                       d_opt=OptConfig(reg_interval=2),
+                       loss=LossConfig(r1_gamma=10.0))
+    k = 2
+    state = replicate(init_train_state(jax.random.PRNGKey(0), CFG_G, CFG_D,
+                                       tcfg), mesh)
+    fused = make_fused_train_step(CFG_G, CFG_D, tcfg, steps_per_call=k)
+    stacked = shard_batch_stacked({
+        "real": np.stack([np.asarray(_batch(seed=i)["real"])
+                          for i in range(k)]),
+        "mask": np.stack([np.asarray(_batch(seed=i)["mask"])
+                          for i in range(k)]),
+    }, mesh)
+    rngs = jax.random.split(jax.random.PRNGKey(1), k)
+    state, stats = fused(state, stacked, rngs)
+    assert int(state.step) == k
+    assert np.isfinite(np.asarray(stats["Loss/G/loss"])).all()
+    w = state.params_G["encoder"]["b16"]["conv1"]["conv1"]["w_stack"]
+    assert w.sharding.is_fully_replicated
