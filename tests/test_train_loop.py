@@ -106,3 +106,37 @@ def test_train_stage_steps_per_call(smoke_cfg):
     assert any("Loss/r1_penalty" in r for r in recs)
     r1_recs = [r for r in recs if "Loss/r1_penalty" in r]
     assert all(r["Loss/r1_penalty"]["num"] <= 1.0 for r in r1_recs)
+
+
+def test_train_stage_with_real_kd_teacher(smoke_cfg, tmp_path):
+    """End-to-end KD: a real (tiny) Co-Mod-GAN teacher saved to .npz is
+    auto-loaded by the loop (reference loss.py:55-121 teacher1_path) and
+    the per-resolution distillation term reaches stats.jsonl."""
+    import json
+
+    import jax
+
+    from migan_tpu.models import comodgan
+    from migan_tpu.io.checkpoint import save_npz
+
+    tcfg = comodgan.CoModGANConfig(resolution=16)
+    tparams = comodgan.generator_init(jax.random.PRNGKey(7), tcfg)
+    tpath = str(tmp_path / "teacher.npz")
+    save_npz(tpath, tparams)
+
+    smoke_cfg["train"]["log_dir"] = smoke_cfg["train"]["log_dir"] + "_kd"
+    smoke_cfg["train"]["image_level_kd_kwargs"] = {
+        "use_image_level_kd": True,
+        "start_resolution": 8,
+        "weight": 2.0,
+        "inference_resolution": 16,
+        "teacher1_path": tpath,
+    }
+    state = train_stage(smoke_cfg, max_steps=2)
+    assert int(state.step) == 2
+    log_dir = smoke_cfg["train"]["log_dir"]
+    with open(os.path.join(log_dir, "stats.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    kd = [r for r in recs if "Loss/G/kd_l1_image_level_loss" in r]
+    assert kd and all(
+        np.isfinite(r["Loss/G/kd_l1_image_level_loss"]["mean"]) for r in kd)
