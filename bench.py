@@ -35,8 +35,8 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
 
     @jax.jit
     def fwd(params, x):
-        # batch-folded + whole-stage Pallas top stages (parity-tested vs
-        # generator_apply; 491 vs 468 img/s for the folded-XLA path)
+        # batch-folded + whole-stage Pallas ladder (parity-tested vs
+        # generator_apply; 715 vs 468 img/s for the folded-XLA path)
         return generator_apply_pallas(params, x, cfg)
 
     import numpy as np
@@ -170,7 +170,7 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=4, steps_per_call=8):
     import numpy as np
     from migan_tpu.models.migan import MiganConfig
     from migan_tpu.train.train_step import (
-        TrainConfig, OptConfig, init_train_state, make_fused_train_step,
+        TrainConfig, init_train_state, make_fused_train_step,
     )
     from migan_tpu.train.loss import LossConfig
 

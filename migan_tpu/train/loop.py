@@ -23,7 +23,7 @@ import numpy as np
 from ..utils.logging import print_log
 from ..utils import stats as training_stats
 from .train_step import (TrainConfig, OptConfig, init_train_state,
-                         make_train_step, TrainState)
+                         make_train_step)
 from .loss import LossConfig, KDConfig
 from . import checkpoint as ckpt
 
