@@ -1,0 +1,98 @@
+"""Coverage for the small utility + CLI surfaces: training_stats moments
+(reference torch_utils/training_stats.py), the param-summary printer
+(reference torch_utils/misc.py print_module_summary), the print_log tee
+(reference lib/log_service.py), and the generate_masks CLI
+(reference scripts/generate_masks.py)."""
+
+import numpy as np
+from PIL import Image
+
+from migan_tpu.utils.stats import StatsRegistry, Collector
+from migan_tpu.utils.summary import (param_count, param_sum,
+                                     print_param_summary)
+from migan_tpu.utils import logging as mlog
+
+
+def test_stats_moments_and_collector():
+    reg = StatsRegistry()
+    col = Collector(regex=r"Loss/.*", registry=reg)
+    vals = [1.0, 2.0, 3.0, 4.0]
+    for v in vals:
+        reg.report("Loss/G/loss", v)
+    reg.report("Progress/kimg", 7.0)          # filtered out by the regex
+    reg.report("Loss/D/loss", [float("nan"), 5.0])  # non-finite dropped
+    col.update()
+    assert set(col.names()) == {"Loss/G/loss", "Loss/D/loss"}
+    assert col.mean("Loss/G/loss") == np.mean(vals)
+    assert np.isclose(col.std("Loss/G/loss"), np.std(vals))
+    d = col.as_dict()
+    assert d["Loss/G/loss"]["num"] == len(vals)
+    assert d["Loss/D/loss"]["num"] == 1 and d["Loss/D/loss"]["mean"] == 5.0
+    # second interval: only new reports appear
+    reg.report("Loss/G/loss", 10.0)
+    col.update()
+    assert col.mean("Loss/G/loss") == 10.0
+    assert np.isnan(col.mean("Loss/D/loss"))  # nothing new this interval
+
+
+def test_param_summary():
+    tree = {"encoder": {"b8": {"w": np.zeros((3, 3, 4, 8)),
+                               "b": np.ones((8,))}},
+            "synthesis": {"w": np.full((2, 2), 2.0)}}
+    n = param_count(tree)
+    assert n == 3 * 3 * 4 * 8 + 8 + 4
+    assert param_sum(tree) == 8 + 4 * 2.0
+    lines = []
+    total = print_param_summary(tree, "toy", print_fn=lines.append)
+    assert total == n
+    text = "\n".join(lines)
+    assert "encoder.b8" in text and f"{n:,}" in text
+
+
+def test_print_log_tee(tmp_path):
+    log = tmp_path / "logs" / "train.log"
+    mlog.set_log_file(str(log))
+    try:
+        mlog.print_log("hello", 123)
+        mlog.print_log("second line")
+    finally:
+        mlog.set_log_file(None)
+    body = log.read_text()
+    assert "hello 123\n" in body and body.endswith("second line\n")
+
+
+def test_profiled_function_runs():
+    @mlog.profiled_function
+    def f(a, b):
+        return a + b
+
+    assert f(2, 3) == 5 and f.__name__ == "f"
+
+
+def test_generate_masks_cli(tmp_path):
+    from migan_tpu.cli.generate_masks import main
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for name in ("a", "b"):
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+            imgs / f"{name}.png")
+
+    out1 = tmp_path / "m1"
+    main(["--out-dir", str(out1), "--img-dir", str(imgs),
+          "--resolution", "64", "--seed", "3"])
+    assert sorted(p.name for p in out1.iterdir()) == ["a.png", "b.png"]
+    m = np.asarray(Image.open(out1 / "a.png"))
+    assert m.shape == (64, 64) and set(np.unique(m)) <= {0, 255}
+
+    # deterministic per seed
+    out2 = tmp_path / "m2"
+    main(["--out-dir", str(out2), "--img-dir", str(imgs),
+          "--resolution", "64", "--seed", "3"])
+    np.testing.assert_array_equal(np.asarray(Image.open(out1 / "b.png")),
+                                  np.asarray(Image.open(out2 / "b.png")))
+
+    # anonymous --count mode
+    out3 = tmp_path / "m3"
+    main(["--out-dir", str(out3), "--count", "3", "--resolution", "32"])
+    assert len(list(out3.iterdir())) == 3
