@@ -96,3 +96,19 @@ def test_generate_masks_cli(tmp_path):
     out3 = tmp_path / "m3"
     main(["--out-dir", str(out3), "--count", "3", "--resolution", "32"])
     assert len(list(out3.iterdir())) == 3
+
+
+def test_calculate_flops_migan256(capsys):
+    """The XLA-cost-analysis FLOP counter runs and lands in the expected
+    band for migan-256 (reference conv-only count ~21.8 GF at bs=1;
+    whole-graph XLA count is slightly above — BASELINE.md)."""
+    from migan_tpu.cli.calculate_flops import main
+
+    main(["--models", "migan-256", "--batch", "1"])
+    out = capsys.readouterr().out
+    assert "migan-256" in out
+    import re
+
+    m = re.search(r"migan-256[^0-9]*([0-9.]+)", out)
+    gf = float(m.group(1))
+    assert 15.0 < gf < 40.0, out
