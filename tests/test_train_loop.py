@@ -140,3 +140,20 @@ def test_train_stage_with_real_kd_teacher(smoke_cfg, tmp_path):
     kd = [r for r in recs if "Loss/G/kd_l1_image_level_loss" in r]
     assert kd and all(
         np.isfinite(r["Loss/G/kd_l1_image_level_loss"]["mean"]) for r in kd)
+
+
+def test_train_stage_resume(smoke_cfg, capsys):
+    """Orbax full-state resume through the loop surface: run 2 steps,
+    restart with resume_path, continue to 4 — step/nimg continue, no
+    re-init (reference resume_path / load_sd capability)."""
+    state1 = train_stage(smoke_cfg, max_steps=2)
+    assert int(state1.step) == 2
+    wdir = os.path.join(smoke_cfg["train"]["log_dir"], "weight")
+    assert os.path.isdir(wdir)
+
+    smoke_cfg["train"]["resume_path"] = wdir
+    state2 = train_stage(smoke_cfg, max_steps=4)
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    assert int(state2.step) == 4
+    assert int(state2.nimg) == 4 * smoke_cfg["train"]["batch_size"]
