@@ -97,3 +97,40 @@ def test_apply_overrides():
 
     with pytest.raises(ValueError):
         apply_overrides(cfg, ["no_equals_sign"])
+
+
+@pytest.mark.parametrize("name,ref_name,total_kimg", [
+    ("migan_places256", "migan_places256", 50000),
+    ("migan_places512", "migan_places512", 25000),
+])
+def test_experiment_hyperparams_match_reference(banks, name, ref_name,
+                                                total_kimg):
+    """The training hyperparameters in our experiment bank must equal the
+    reference's (configs/experiment/*.yaml) — the schedule IS the parity
+    contract for reproducing the published models."""
+    import os
+
+    import yaml
+
+    cfg = banks.experiment(name)["train"]
+    ref_path = f"/root/reference/configs/experiment/{ref_name}.yaml"
+    if not os.path.isfile(ref_path):
+        pytest.skip("reference configs not mounted")
+    with open(ref_path) as f:
+        ref = yaml.safe_load(f)["train"]
+
+    assert cfg["batch_size"] == ref["batch_size"] == 32
+    for side in ("g_opt_kwargs", "d_opt_kwargs"):
+        assert cfg[side]["lr"] == ref[side]["lr"]
+        assert list(cfg[side]["betas"]) == list(ref[side]["betas"])
+        assert float(cfg[side]["eps"]) == float(ref[side]["eps"])
+    assert cfg["g_reg_interval"] == ref["g_reg_interval"] == 4
+    assert cfg["d_reg_interval"] == ref["d_reg_interval"] == 16
+    assert cfg["loss_kwargs"]["r1_gamma"] == ref["loss_kwargs"]["r1_gamma"]
+    assert cfg["total_kimg"] == ref["total_kimg"] == total_kimg
+    assert cfg["ema_kimg"] == ref["ema_kimg"]
+    assert cfg["kimg_per_tick"] == ref["kimg_per_tick"]
+    kd, rkd = cfg["image_level_kd_kwargs"], ref["image_level_kd_kwargs"]
+    assert (kd["start_resolution"], kd["weight"]) == (
+        rkd["start_resolution"], rkd["weight"])
+    assert bool(kd["use_image_level_kd"]) == bool(rkd["use_image_level_kd"])
