@@ -23,7 +23,7 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     import jax
     import jax.numpy as jnp
     from migan_tpu.models.migan_inference import (
-        GeneratorConfig, generator_init, generator_apply,
+        GeneratorConfig, generator_init,
     )
 
     from migan_tpu.models.migan_pallas import generator_apply_pallas

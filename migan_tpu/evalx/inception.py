@@ -24,7 +24,7 @@ scaled to [-1, 1] internally. Output: [N, 2048] pool features.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ consumed by the knowledge-distillation loss (reference migan.py:516-524).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import numpy as np
 

@@ -27,7 +27,6 @@ dim = channels); the reference is NCHW.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
