@@ -112,3 +112,13 @@ def test_calculate_flops_migan256(capsys):
     m = re.search(r"migan-256[^0-9]*([0-9.]+)", out)
     gf = float(m.group(1))
     assert 15.0 < gf < 40.0, out
+
+
+def test_bench_probe_backend_cpu(monkeypatch):
+    """bench._probe_backend succeeds against a working (CPU-forced) backend
+    — the fail-fast guard must not false-positive when devices are fine."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    import bench
+
+    assert bench._probe_backend(timeout_s=180) is True
