@@ -68,6 +68,23 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the image HEIGHT dim of an NHWC batch — the sequence-parallel
+    analog for a convolutional model (SURVEY §2.9/§5.7: the reference's
+    "sequence length" is image resolution and it has no sharding story;
+    its app-level answer to big images is the pipeline's bbox crop).
+
+    Usage: `x = jax.device_put(x, spatial_sharding(mesh))` with replicated
+    params, then call the standard jitted forward — GSPMD partitions every
+    conv/FIR op along H and inserts the halo exchanges for the 3x3 / 4-tap
+    stencils automatically (validated for the full migan inference net on
+    an 8-device mesh, tests/test_multihost.py::test_spatial_sharded_inference
+    — exact parity, output stays H-sharded). Lets one image exceed a single
+    chip's HBM (megapixel inpainting) at the cost of per-stage halo
+    traffic; for throughput-bound batched serving, prefer batch DP."""
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
 def shard_batch_stacked(batch: Dict[str, Any], mesh: Mesh,
                         axis: str = "data") -> Dict[str, Any]:
     """shard_batch for [k, N, ...] stacks of k per-call batches (the
