@@ -8,8 +8,9 @@ StableHLO replacing ONNX/TorchScript:
         --origs-dir imgs/ --masks-dir masks/ --output-dir out/
 
 Inputs: a native .npz of training-G params (e.g. the params_G_ema tree from
-an orbax checkpoint) or a torch .pt/.pkl-derived state_dict converted via
-io.import_migan_train. Outputs:
+an orbax checkpoint), a torch .pt state_dict, or a reference
+network-snapshot-*.pkl (whole-module pickle; loaded without reference code
+via io.pkl_import and folded from its G_ema). Outputs:
   out/models/migan.npz          folded inference weights (native)
   out/models/migan.stablehlo    serialized jitted forward
   out/samples/...               original vs converted sample results
@@ -62,6 +63,19 @@ def main(argv=None):
                       num_reparam_tensors=args.num_reparam_tensors)
     if args.model_path.endswith(".npz"):
         train_params = load_npz(args.model_path)
+    elif args.model_path.endswith(".pkl"):
+        # Reference training snapshot {'G','D','G_ema'} of whole torch
+        # modules (reference: lib/experiments/migan_default.py:538-551;
+        # consumed by scripts/export_inference_model.py:116-124). Export
+        # folds G_ema, as the reference does.
+        from ..io import import_migan_train, load_reference_snapshot
+
+        snap = load_reference_snapshot(args.model_path)
+        sd = snap.get("G_ema") or snap.get("G")
+        if sd is None:
+            raise SystemExit(
+                f"{args.model_path}: no G_ema/G module found in snapshot")
+        train_params = import_migan_train(sd)
     else:
         from ..io import load_torch_state_dict, import_migan_train
 
