@@ -150,15 +150,26 @@ class ImageOnlyFormatter:
 
 @regformat()
 class RandomMaskFormatter:
-    """Image at native res + RandomMask (reference ds_ffhq.py:340+)."""
+    """Image at native res + RandomMask (reference ds_ffhq.py:340+).
 
-    def __init__(self, random_flip=False, hole_range=(0, 1)):
+    mask_backend 'native' uses the C++ rasterizer (data/fast_masks.py,
+    PIL fallback); 'pil' (default) is the reference's bit-exact generator.
+    """
+
+    def __init__(self, random_flip=False, hole_range=(0, 1),
+                 mask_backend="pil"):
         self.random_flip = random_flip
         self.hole_range = tuple(hole_range)
+        self.mask_backend = mask_backend
 
     def __call__(self, element):
         x = element["image"] * 2 - 1
         if self.random_flip and np.random.rand() < 0.5:
             x = x[:, ::-1].copy()
-        mask = RandomMask(x.shape[0], self.hole_range)
+        if self.mask_backend == "native":
+            from .fast_masks import fast_random_mask
+
+            mask = fast_random_mask(x.shape[0], self.hole_range)
+        else:
+            mask = RandomMask(x.shape[0], self.hole_range)
         return x.astype(np.float32), mask, element["unique_id"]

@@ -149,12 +149,22 @@ class AdvInpaintingFormatter:
 class FreeFormMaskFormatter:
     """Bicubic resize -> [-1,1] -> optional random flip -> RandomMask —
     the formatter the shipped train/val configs use
-    (reference ds_places2.py:187-206, configs/dataset/places2.yaml:20-27)."""
+    (reference ds_places2.py:187-206, configs/dataset/places2.yaml:20-27).
 
-    def __init__(self, random_flip=True, resolution=512, hole_range=(0, 1)):
+    mask_backend: 'pil' (default) is the reference's bit-exact generator;
+    'native' rasterizes the same algorithm in C++ (data/fast_masks.py,
+    ~10x faster — keeps host mask synthesis ahead of the device pipeline)
+    and falls back to PIL when no toolchain is available. Both consume one
+    draw from the global numpy RNG per mask, so seeded runs stay
+    deterministic under either backend.
+    """
+
+    def __init__(self, random_flip=True, resolution=512, hole_range=(0, 1),
+                 mask_backend="pil"):
         self.random_flip = random_flip
         self.resolution = resolution
         self.hole_range = tuple(hole_range)
+        self.mask_backend = mask_backend
 
     def __call__(self, element):
         x = element["image"] * 2 - 1
@@ -163,5 +173,10 @@ class FreeFormMaskFormatter:
             x = _bicubic_resize(x, s)
         if self.random_flip and np.random.rand() < 0.5:
             x = x[:, ::-1].copy()
-        mask = RandomMask(s, self.hole_range)
+        if self.mask_backend == "native":
+            from .fast_masks import fast_random_mask
+
+            mask = fast_random_mask(s, self.hole_range)
+        else:
+            mask = RandomMask(s, self.hole_range)
         return x.astype(np.float32), mask, element["unique_id"]

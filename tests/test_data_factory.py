@@ -47,6 +47,22 @@ def test_places2_freeform(places2_dir):
     assert isinstance(uid, str) and uid.startswith("train256")
 
 
+def test_places2_freeform_native_mask_backend(places2_dir):
+    """mask_backend='native' routes through the C++ rasterizer
+    (data/fast_masks.py; silent PIL fallback without a toolchain) and is
+    deterministic under a seeded global RNG."""
+    cfg = _places_cfg(places2_dir)
+    cfg["formatter"]["args"]["mask_backend"] = "native"
+    ds = get_dataset(cfg)
+    np.random.seed(123)
+    x, mask, uid = ds[0]
+    assert mask.shape == (64, 64) and set(np.unique(mask)) <= {0.0, 1.0}
+    assert (mask == 0).any() and (mask == 1).any()
+    np.random.seed(123)
+    _, mask2, _ = ds[0]
+    np.testing.assert_array_equal(mask, mask2)
+
+
 def test_ffhqzip(tmp_path):
     zpath = tmp_path / "ffhq256x256.zip"
     rng = np.random.RandomState(1)

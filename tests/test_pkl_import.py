@@ -121,6 +121,47 @@ def test_snapshot_g_ema_forward_parity(snapshot):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
+def test_persistence_format_pkl():
+    """Older published .pkl models wrap classes with the StyleGAN-ADA
+    persistence decorator (reference torch_utils/persistence.py:118-124);
+    their _reconstruct_persistent_obj hook must be intercepted and the
+    embedded state applied WITHOUT executing the embedded module source."""
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from torch_utils import persistence
+    except Exception:
+        pytest.skip("reference repo not available")
+    from migan_tpu.io import loads_reference_snapshot
+
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 8, 3)
+            self.register_buffer("buf", torch.arange(4.0))
+
+    # the decorator requires a module-level symbol (persistence.py:107)
+    globals()["Tiny"] = Tiny
+    try:
+        m = persistence.persistent_class(Tiny)().eval().requires_grad_(False)
+    finally:
+        del globals()["Tiny"]
+    blob = pickle.dumps({"G": None, "D": None, "G_ema": m})
+    expected = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    saved, had = _unimport_reference()
+    try:
+        loaded = loads_reference_snapshot(blob)
+    finally:
+        _reimport_reference(saved, had)
+
+    got = loaded["G_ema"]
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(got[k], expected[k], err_msg=k)
+
+
 def test_bare_module_and_none_entries(snapshot, tmp_path):
     """A pickle of a single module loads under 'G'; None entries pass
     through (the reference stores None for absent nets,
