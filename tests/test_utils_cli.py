@@ -98,6 +98,44 @@ def test_generate_masks_cli(tmp_path):
     assert len(list(out3.iterdir())) == 3
 
 
+def test_create_pipeline_cli(tmp_path):
+    """End-to-end smoke of the app-pipeline CLI (reference
+    scripts/create_onnx_pipeline.py analog): bucketed + polymorphic
+    StableHLO exports land on disk and the self-check inpaints a sample."""
+    import jax
+    from migan_tpu.cli.create_pipeline import main
+    from migan_tpu.models.migan_inference import (GeneratorConfig,
+                                                  generator_init)
+    from migan_tpu.io.checkpoint import save_npz
+
+    w = tmp_path / "w.npz"
+    save_npz(str(w), generator_init(jax.random.PRNGKey(0),
+                                    GeneratorConfig(resolution=256)))
+    imgs = tmp_path / "imgs"
+    masks = tmp_path / "masks"
+    imgs.mkdir(), masks.mkdir()
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (200, 180, 3), np.uint8)).save(
+        imgs / "s.jpg")
+    m = np.full((200, 180), 255, np.uint8)
+    m[60:120, 50:130] = 0
+    Image.fromarray(m).save(masks / "s.png")
+
+    out = tmp_path / "out"
+    main(["--resolution", "256", "--model-path", str(w),
+          "--images-dir", str(imgs), "--masks-dir", str(masks),
+          "--output-dir", str(out), "--buckets", "256",
+          "--polymorphic"])
+    assert (out / "models" / "migan_pipeline_256.stablehlo").stat().st_size
+    assert (out / "models" / "migan_pipeline_dynamic.stablehlo").stat(
+        ).st_size
+    res = np.asarray(Image.open(out / "sample_results" / "s.png"))
+    assert res.shape == (200, 180, 3)
+    # outside the hole the pipeline composites the original back
+    orig = np.asarray(Image.open(imgs / "s.jpg"))
+    np.testing.assert_array_equal(res[:40, :40], orig[:40, :40])
+
+
 def test_calculate_flops_migan256(capsys):
     """The XLA-cost-analysis FLOP counter runs and lands in the expected
     band for migan-256 (reference conv-only count ~21.8 GF at bs=1;
