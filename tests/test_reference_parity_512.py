@@ -108,3 +108,50 @@ def test_demo512_golden_regression(our_demo_out):
         got = np.asarray(Image.open(our_demo_out / f"{i}.png"), np.int32)
         d = np.abs(want - got)
         assert d.max() <= 1, f"golden {i}: max |diff| {d.max()}"
+
+
+OBJECT_EXAMPLES = os.path.join(REF_ROOT, "examples", "places2_512_object")
+OBJECT_IDS = ("1", "13")
+
+
+def test_demo512_invert_mask_parity_vs_reference(weights, tmp_path):
+    """The reference's fourth golden suite (places2_512_object,
+    README.md:80-86) runs with --invert-mask (object masks are 1=hole);
+    exercises the mask-inversion branch of read_mask end to end
+    (reference scripts/demo.py:26-45)."""
+    ins = tmp_path / "in"
+    (ins / "images").mkdir(parents=True)
+    (ins / "masks").mkdir()
+    for i in OBJECT_IDS:
+        for sub, ext in (("images", "png"), ("masks", "png")):
+            src = os.path.join(OBJECT_EXAMPLES, sub, f"{i}.{ext}")
+            (ins / sub / f"{i}.{ext}").write_bytes(open(src, "rb").read())
+
+    from migan_tpu.cli import demo
+
+    out_jax = tmp_path / "out_jax"
+    demo.main([
+        "--model-name", "migan-512", "--model-path", weights["npz"],
+        "--images-dir", str(ins / "images"),
+        "--masks-dir", str(ins / "masks"),
+        "--invert-mask",
+        "--output-dir", str(out_jax),
+    ])
+
+    out_ref = tmp_path / "out_ref"
+    proc = subprocess.run(
+        [sys.executable, "-m", "scripts.demo",
+         "--model-name", "migan-512", "--model-path", weights["pt"],
+         "--images-dir", str(ins / "images"),
+         "--masks-dir", str(ins / "masks"),
+         "--invert-mask",
+         "--output-dir", str(out_ref), "--device", "cpu"],
+        cwd=REF_ROOT, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    for i in OBJECT_IDS:
+        want = np.asarray(Image.open(out_ref / f"{i}.png"), np.int32)
+        got = np.asarray(Image.open(out_jax / f"{i}.png"), np.int32)
+        assert want.shape == got.shape, f"image {i}: shape mismatch"
+        d = np.abs(want - got)
+        assert d.max() <= 1, f"image {i}: max |diff| {d.max()}"
