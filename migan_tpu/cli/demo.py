@@ -39,10 +39,16 @@ def get_args(argv=None):
                    "selects the platform.")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32")
+    p.add_argument("--ch-base", type=int, default=None,
+                   help="Channel bank base for comodgan-* (reference "
+                   "comodgan.py Encoder/Synthesis ch_base; default 32768).")
+    p.add_argument("--ch-max", type=int, default=None,
+                   help="Channel cap for comodgan-* (default 512).")
     return p.parse_args(argv)
 
 
-def load_model(model_name: str, model_path: str, dtype: str = "float32"):
+def load_model(model_name: str, model_path: str, dtype: str = "float32",
+               ch_base=None, ch_max=None):
     """Returns (jitted_forward, resolution). forward: [N,H,W,4] -> [N,H,W,3]."""
     import jax
     import jax.numpy as jnp
@@ -84,7 +90,8 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32"):
     if model_name in ("comodgan-256", "comodgan-512"):
         from ..models.comodgan import load_comodgan_forward
 
-        return load_comodgan_forward(model_name, model_path, dtype)
+        return load_comodgan_forward(model_name, model_path, dtype,
+                                     ch_base=ch_base, ch_max=ch_max)
 
     raise ValueError(f"Unsupported model name: {model_name}")
 
@@ -94,7 +101,8 @@ def main(argv=None):
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     forward, resolution = load_model(args.model_name, args.model_path,
-                                     args.dtype)
+                                     args.dtype, ch_base=args.ch_base,
+                                     ch_max=args.ch_max)
 
     img_paths = []
     for ext in (".jpg", ".jpeg", ".png"):

@@ -287,16 +287,24 @@ discriminator_apply = sg_discriminator_apply
 
 
 def load_comodgan_forward(model_name: str, model_path: str,
-                          dtype: str = "float32"):
+                          dtype: str = "float32",
+                          ch_base=None, ch_max=None):
     """Demo-CLI loader: returns (jitted forward [N,H,W,4]->[N,H,W,3], res).
 
     Matches the reference demo's comodgan path (reference scripts/demo.py:
     95-110): z is sampled per call; noise_mode is the default 'random'.
+    ch_base/ch_max override the channel banks (reference comodgan.py
+    Encoder/Synthesis kwargs) for reduced-width checkpoints.
     """
     import jax.numpy as jnp
 
     resolution = int(model_name.split("-")[1])
-    cfg = CoModGANConfig(resolution=resolution)
+    kw = {}
+    if ch_base is not None:
+        kw["ch_base"] = ch_base
+    if ch_max is not None:
+        kw["ch_max"] = ch_max
+    cfg = CoModGANConfig(resolution=resolution, **kw)
     if model_path.endswith(".npz"):
         from ..io.checkpoint import load_npz
 
