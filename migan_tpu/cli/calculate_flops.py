@@ -34,6 +34,8 @@ def flops_of(fn, *example_args) -> float:
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -43,6 +43,8 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from PIL import Image
 

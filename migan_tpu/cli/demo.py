@@ -98,6 +98,8 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     forward, resolution = load_model(args.model_name, args.model_path,

@@ -124,6 +124,8 @@ def load_detectors(args):
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     np.random.seed(0)
     random.seed(0)
 

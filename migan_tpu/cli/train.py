@@ -97,6 +97,8 @@ def cfg_initiates(cfg, args):
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     # multi-host: one process per host, env-gated (MIGAN_TPU_MULTIHOST=1 +
     # standard JAX coordination env). Must run before any jax use so every
