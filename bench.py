@@ -229,6 +229,10 @@ def _probe_backend(timeout_s: int = 300) -> bool:
 
 
 def main():
+    # Persistent XLA compilation cache: the 5 bench sections carry 20-40 s
+    # first-compiles each; cached re-runs spend their budget measuring.
+    from migan_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if not _probe_backend():
         print(json.dumps({
             "metric": "migan512_inference_throughput",
