@@ -26,6 +26,7 @@ jax.jit(lambda x: (jnp.tanh(x) @ x.T).sum())(x).block_until_ready()
 def test_cache_populates_and_persists(tmp_path):
     cache = str(tmp_path / "xla_cache")
     env = dict(os.environ, MIGAN_TPU_COMPILE_CACHE=cache,
+               MIGAN_TPU_COMPILE_CACHE_MIN_SECS="0",
                JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
     code = _CHILD.format(repo=REPO, cache=cache)
