@@ -44,11 +44,21 @@ def get_args(argv=None):
                    "comodgan.py Encoder/Synthesis ch_base; default 32768).")
     p.add_argument("--ch-max", type=int, default=None,
                    help="Channel cap for comodgan-* (default 512).")
+    p.add_argument("--z-npy", type=str, default=None,
+                   help="comodgan-*: .npy with a fixed z [512] (or [1,512]) "
+                   "used for every image instead of per-call sampling — "
+                   "makes runs reproducible / cross-framework comparable "
+                   "(reference comodgan.py:438-445 accepts z the same way).")
+    p.add_argument("--noise-mode", choices=["random", "const", "none"],
+                   default="random",
+                   help="comodgan-*: synthesis noise mode (reference "
+                   "stylegan.py synthesis_layer); 'const' replays the "
+                   "imported noise_const buffers deterministically.")
     return p.parse_args(argv)
 
 
 def load_model(model_name: str, model_path: str, dtype: str = "float32",
-               ch_base=None, ch_max=None):
+               ch_base=None, ch_max=None, z_npy=None, noise_mode="random"):
     """Returns (jitted_forward, resolution). forward: [N,H,W,4] -> [N,H,W,3]."""
     import jax
     import jax.numpy as jnp
@@ -90,8 +100,14 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
     if model_name in ("comodgan-256", "comodgan-512"):
         from ..models.comodgan import load_comodgan_forward
 
+        z = None
+        if z_npy is not None:
+            import numpy as np
+
+            z = np.load(z_npy).reshape(1, -1).astype("float32")
         return load_comodgan_forward(model_name, model_path, dtype,
-                                     ch_base=ch_base, ch_max=ch_max)
+                                     ch_base=ch_base, ch_max=ch_max,
+                                     z=z, noise_mode=noise_mode)
 
     raise ValueError(f"Unsupported model name: {model_name}")
 
@@ -104,7 +120,8 @@ def main(argv=None):
 
     forward, resolution = load_model(args.model_name, args.model_path,
                                      args.dtype, ch_base=args.ch_base,
-                                     ch_max=args.ch_max)
+                                     ch_max=args.ch_max, z_npy=args.z_npy,
+                                     noise_mode=args.noise_mode)
 
     img_paths = []
     for ext in (".jpg", ".jpeg", ".png"):

@@ -288,13 +288,18 @@ discriminator_apply = sg_discriminator_apply
 
 def load_comodgan_forward(model_name: str, model_path: str,
                           dtype: str = "float32",
-                          ch_base=None, ch_max=None):
+                          ch_base=None, ch_max=None,
+                          z=None, noise_mode: str = "random"):
     """Demo-CLI loader: returns (jitted forward [N,H,W,4]->[N,H,W,3], res).
 
     Matches the reference demo's comodgan path (reference scripts/demo.py:
-    95-110): z is sampled per call; noise_mode is the default 'random'.
-    ch_base/ch_max override the channel banks (reference comodgan.py
-    Encoder/Synthesis kwargs) for reduced-width checkpoints.
+    95-110): by default z is sampled per call and noise_mode is 'random'.
+    A fixed `z` ([1, z_dim], broadcast over the batch) plus
+    noise_mode='const' makes the run deterministic and cross-framework
+    comparable (the reference Generator.forward accepts z the same way,
+    reference comodgan.py:438-445). ch_base/ch_max override the channel
+    banks (reference comodgan.py Encoder/Synthesis kwargs) for
+    reduced-width checkpoints.
     """
     import jax.numpy as jnp
 
@@ -315,10 +320,15 @@ def load_comodgan_forward(model_name: str, model_path: str,
         params = import_migan_train(load_torch_state_dict(model_path))
 
     key_holder = {"key": jax.random.PRNGKey(0)}
+    z_fixed = None if z is None else jnp.asarray(z, jnp.float32)
 
     @jax.jit
     def _fwd(params, x, rng):
-        y = generator_apply(params, x.astype(dtype), cfg, rng=rng)
+        zz = None
+        if z_fixed is not None:
+            zz = jnp.broadcast_to(z_fixed, (x.shape[0], z_fixed.shape[-1]))
+        y = generator_apply(params, x.astype(dtype), cfg, z=zz, rng=rng,
+                            noise_mode=noise_mode)
         return y.astype(jnp.float32)
 
     def forward(x):
