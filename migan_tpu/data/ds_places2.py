@@ -123,7 +123,15 @@ class FixedMaskFormatter:
 
 @regformat()
 class AdvInpaintingFormatter:
-    """Random scale + crop (reference ds_places2.py:155-179)."""
+    """Random scale + crop (reference ds_places2.py:155-179).
+
+    Resize uses cv2 INTER_CUBIC where the reference uses torch
+    `interpolate(mode='bicubic', align_corners=False)`; both are Keys
+    bicubic (a=-0.75) with half-pixel centers and agree to ~1e-4 on
+    [-1,1]-scaled images — semantics-equivalent, not bit-exact
+    (tolerance-banded parity: tests/test_data_factory.py::
+    test_adv_inpainting_formatter_matches_torch_bicubic). RNG draw order
+    (nh, nw, ch, cw, RandomMask) matches the reference stream exactly."""
 
     def __init__(self, resolution=512, hole_range=(0, 1)):
         self.resolution = resolution

@@ -153,3 +153,44 @@ def test_collate_strings_and_arrays():
     items = [(np.ones((2, 2)), "a"), (np.zeros((2, 2)), "b")]
     x, s = collate(items)
     assert x.shape == (2, 2, 2) and s == ["a", "b"]
+
+
+def test_adv_inpainting_formatter_matches_torch_bicubic():
+    """AdvInpaintingFormatter parity vs the reference's torch bicubic
+    resize (reference ds_places2.py:155-179): same global-RNG draw
+    sequence (nh, nw, ch, cw, then RandomMask), and cv2 INTER_CUBIC vs
+    torch `interpolate(mode='bicubic', align_corners=False)` agree to
+    ~1e-4 (both Keys a=-0.75, half-pixel centers) — tolerance-banded
+    here since they are not bit-identical."""
+    torch = pytest.importorskip("torch")
+    from migan_tpu.data.ds_places2 import AdvInpaintingFormatter
+    from migan_tpu.data.masks import RandomMask
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(300, 400, 3).astype(np.float32)
+    fmt = AdvInpaintingFormatter(resolution=256)
+
+    for seed in (0, 1):
+        np.random.seed(seed)
+        x_ours, mask_ours, uid = fmt({"image": img, "unique_id": "u0"})
+
+        # Oracle: the reference's exact tensor math on the same RNG stream.
+        np.random.seed(seed)
+        x = (img - 0.5) * 2
+        oh, ow = x.shape[:2]
+        s = 256
+        nh = np.random.randint(s, max(oh, int(s * 1.2)) + 1)
+        nw = np.random.randint(s, max(ow, int(s * 1.2)) + 1)
+        ch = np.random.randint(0, nh - s + 1)
+        cw = np.random.randint(0, nw - s + 1)
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(2, 0, 1)).unsqueeze(0),
+            size=[nh, nw], mode="bicubic", align_corners=False)
+        x_ref = t.squeeze(0).numpy().transpose(1, 2, 0)[ch:ch + s, cw:cw + s]
+        mask_ref = RandomMask(s, (0, 1))
+
+        assert uid == "u0"
+        assert x_ours.shape == (256, 256, 3)
+        assert np.max(np.abs(x_ours - x_ref)) < 1e-3
+        np.testing.assert_array_equal(np.asarray(mask_ours),
+                                      np.asarray(mask_ref))
