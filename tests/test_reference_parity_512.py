@@ -22,8 +22,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens",
                           "demo_places512")
 IMAGE_IDS = ("Places365_val_00001629", "Places365_val_00006343")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(EXAMPLES), reason="reference examples not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(EXAMPLES), reason="reference examples not mounted")]
 
 
 @pytest.fixture(scope="module")
@@ -102,6 +102,13 @@ def test_demo512_pixel_parity_vs_reference(weights, demo_inputs,
 
 
 def test_demo512_golden_regression(our_demo_out):
+    """MIGAN_TPU_REGEN_GOLDENS=1 rewrites goldens (docs/REAL_WEIGHTS.md §3)."""
+    if os.environ.get("MIGAN_TPU_REGEN_GOLDENS") == "1":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for i in IMAGE_IDS:
+            Image.open(our_demo_out / f"{i}.png").save(
+                os.path.join(GOLDEN_DIR, f"{i}.png"))
+        pytest.skip("goldens regenerated")
     for i in IMAGE_IDS:
         want = np.asarray(Image.open(os.path.join(GOLDEN_DIR, f"{i}.png")),
                           np.int32)

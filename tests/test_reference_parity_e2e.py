@@ -36,8 +36,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens",
                           "demo_ffhq256")
 IMAGE_IDS = ("1", "2", "3", "4")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(EXAMPLES), reason="reference examples not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(EXAMPLES), reason="reference examples not mounted")]
 
 
 def _ref_path():
@@ -121,7 +121,15 @@ def test_demo_pixel_parity_vs_reference(weights, demo_inputs, our_demo_out,
 def test_demo_golden_regression(our_demo_out):
     """Checked-in goldens pin the demo path end-to-end (weights init, ops,
     preprocessing, compositing). 1-level tolerance absorbs cross-platform
-    float rounding."""
+    float rounding. MIGAN_TPU_REGEN_GOLDENS=1 rewrites the goldens from
+    the current outputs (run after importing real published weights —
+    docs/REAL_WEIGHTS.md §3)."""
+    if os.environ.get("MIGAN_TPU_REGEN_GOLDENS") == "1":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for i in IMAGE_IDS:
+            Image.open(our_demo_out / f"{i}.png").save(
+                os.path.join(GOLDEN_DIR, f"{i}.png"))
+        pytest.skip("goldens regenerated")
     for i in IMAGE_IDS:
         want = np.asarray(Image.open(os.path.join(GOLDEN_DIR, f"{i}.png")),
                           np.int32)
