@@ -32,8 +32,8 @@ import jax
 
 REF_ROOT = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_ROOT), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference not mounted")]
 
 N_IMAGES = 10
 RES = 256
