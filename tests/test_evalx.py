@@ -1,6 +1,7 @@
 """Eval subsystem: inception/lpips structure, FID math, evaluators."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ def test_inception_output_shape_and_determinism():
     np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2))
 
 
+@pytest.mark.slow
 def test_inception_batch_consistency():
     """Per-sample features must not depend on batchmates."""
     params = inception_init(jax.random.PRNGKey(0))

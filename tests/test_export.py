@@ -32,6 +32,7 @@ def _train_params():
     return params
 
 
+@pytest.mark.slow
 def test_fold_matches_training_net():
     """The folded inference net must reproduce train-G(noise_mode='const')
     (reference export_inference_model.py:132-164 expects ~0% diff)."""

@@ -50,6 +50,7 @@ def test_forward_shapes_and_fully_convolutional():
 
 
 @pytest.mark.parametrize("resolution", [64, 256])
+@pytest.mark.slow
 def test_forward_parity_vs_reference(resolution):
     torch = pytest.importorskip("torch")
     if REF not in sys.path:

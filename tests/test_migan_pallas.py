@@ -39,6 +39,7 @@ def test_geometry_matches_migan512():
     assert pallas_stage_eligible(GeneratorConfig(resolution=512), 2)
 
 
+@pytest.mark.slow
 def test_pallas_path_matches_standard(params, monkeypatch):
     # set noise strengths non-zero so the noise path is exercised
     for blk in params["synthesis"].values():
@@ -76,6 +77,7 @@ def test_odd_batch_falls_back(params):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_path_three_level_chain():
     """resolution 128 / ch_base 8192 reproduces migan-512's full packed
     ladder (folded 128/256/512 over three stages, n_packed=3)."""

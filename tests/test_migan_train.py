@@ -82,6 +82,7 @@ def test_generator_parity_vs_reference(depthwise, reparam, n_tensors):
     assert count_params(params) == n_ref
 
 
+@pytest.mark.slow
 def test_discriminator_parity_vs_reference():
     torch, _, ref_d = _ref_modules(64, True, True, 9)
     from migan_tpu.io import import_migan_train
@@ -134,6 +135,7 @@ def test_param_counts_match_baseline_md():
     assert count_params(d2) == 39_002_835
 
 
+@pytest.mark.slow
 def test_generator_grads_finite():
     cfg = MiganConfig(resolution=32, depthwise=True, reparametrize=True,
                       num_reparam_tensors=2)

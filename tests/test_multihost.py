@@ -8,6 +8,7 @@ produces exactly the device_put sharding on the 8-virtual-device mesh.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def test_maybe_initialize_distributed_gated(monkeypatch):
     assert maybe_initialize_distributed() is False
 
 
+@pytest.mark.slow
 def test_spatial_sharded_inference():
     """Spatial (H-dim) sharding — the SP analog: GSPMD partitions the full
     inference forward along image height with halo exchanges for the

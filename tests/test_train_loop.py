@@ -4,6 +4,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # loop-level integration; each test compiles full XLA programs
 from PIL import Image
 
 from migan_tpu.train.loop import train_stage

@@ -3,6 +3,7 @@ and the whole step executes sharded over an 8-device CPU mesh.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -84,6 +85,7 @@ def test_train_step_with_kd_teacher():
     assert float(stats["Loss/G/kd_l1_image_level_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch():
     """Accumulated micro-batch grads == full-batch grads on a deterministic
     phase (R1; mbstd groups of 4 align between batch 8 and 2 rounds of 4,
@@ -109,6 +111,7 @@ def test_grad_accum_matches_full_batch():
                                float(s2["Loss/r1_penalty"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_with_grad_accum_on_mesh():
     """grad_accum_rounds=2 runs sharded end-to-end (scan over micro-batches
     under GSPMD) and still updates params."""
@@ -141,6 +144,7 @@ def test_train_step_on_8_device_mesh():
     assert w.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_train_step_bf16_policy():
     """compute_dtype='bfloat16': f32 master params, bf16 model compute.
 
@@ -177,6 +181,7 @@ def test_train_step_bf16_policy():
     np.testing.assert_array_equal(np.asarray(nc0), np.asarray(nc1))
 
 
+@pytest.mark.slow
 def test_fused_multi_step_matches_sequential():
     """make_fused_train_step(k) == k sequential make_train_step calls —
     params, EMA, opt moments, step/nimg — with the same per-step keys and
@@ -236,6 +241,7 @@ def test_fused_multi_step_matches_sequential():
     assert stats["Loss/G/loss"].shape == (k,)
 
 
+@pytest.mark.slow
 def test_fused_multi_step_compiles():
     """The jitted fused program runs, advances counters, obeys the R1
     schedule across call boundaries, and donates cleanly."""
@@ -261,6 +267,7 @@ def test_fused_multi_step_compiles():
     assert s1["Loss/G/loss"].shape == (k,)  # stacked per-step stats
 
 
+@pytest.mark.slow
 def test_fused_multi_step_on_8_device_mesh():
     """The fused k-step program under DP: stacked batch sharded on dim 1
     (shard_batch_stacked), params replicated, state donated."""
