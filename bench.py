@@ -334,7 +334,8 @@ def roofline_migan512(imgs_per_sec, bs):
     }
 
 
-def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8):
+def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8,
+                    detector_dtype=None):
     """End-to-end eval-pipeline throughput: the north star's actual
     workload ("on-device batched scoring", BASELINE.json; reference loop
     scripts/evaluate_fid_lpips.py:236-259). Per batch: G forward +
@@ -365,9 +366,12 @@ def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8):
         composed = masks * imgs + (1 - masks) * out
         imgs01 = jnp.clip(imgs * 0.5 + 0.5, 0, 1)
         comp01 = jnp.clip(composed * 0.5 + 0.5, 0, 1)
-        lp = lpips_apply(lp_params, imgs01, comp01, normalize=True)
-        ra = inception_apply(inc_params, imgs01)
-        fa = inception_apply(inc_params, comp01)
+        lp = lpips_apply(lp_params, imgs01, comp01, normalize=True,
+                         compute_dtype=detector_dtype)
+        ra = inception_apply(inc_params, imgs01,
+                             compute_dtype=detector_dtype)
+        fa = inception_apply(inc_params, comp01,
+                             compute_dtype=detector_dtype)
         return (jnp.sum(lp) + jnp.sum(ra.astype(jnp.float32))
                 + jnp.sum(fa.astype(jnp.float32)))
 
@@ -450,6 +454,14 @@ def main():
         extra["eval_imgs_per_sec"] = round(bench_eval_step(), 2)
     except Exception as e:  # pragma: no cover
         print(f"# eval bench failed: {type(e).__name__}", file=sys.stderr)
+    try:
+        # bf16 detector conv stacks (--detector-dtype bfloat16): faster
+        # scoring; FID/LPIPS deltas bounded in test_detector_bf16_tolerance.
+        extra["eval_imgs_per_sec_bf16_detectors"] = round(
+            bench_eval_step(detector_dtype="bfloat16"), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# eval-bf16 bench failed: {type(e).__name__}",
+              file=sys.stderr)
     try:
         # GAN-only step (the reference's KD-off ablation workload).
         ips, rl = bench_train_step()

@@ -45,6 +45,11 @@ def get_args(argv=None):
     p.add_argument("--inception-weights", type=str, default=None)
     p.add_argument("--lpips-weights", type=str, default=None)
     p.add_argument("--allow-random-detector", action="store_true")
+    p.add_argument("--detector-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 runs the detector conv stacks in bf16 "
+                   "(~2x faster scoring; shifts FID slightly — keep "
+                   "float32 when comparing against published numbers).")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true", default=None,
                    help="shard eval batches over all devices (default: on "
@@ -117,8 +122,12 @@ def load_detectors(args):
         raise SystemExit("--lpips-weights required "
                          "(or --allow-random-detector for smoke tests)")
 
-    inception = jax.jit(lambda x: inception_apply(inc_params, x))
-    lp = jax.jit(lambda a, b: lpips_apply(lp_params, a, b, normalize=True))
+    cd = None if args.detector_dtype == "float32" else args.detector_dtype
+    inception = jax.jit(
+        lambda x: inception_apply(inc_params, x, compute_dtype=cd))
+    lp = jax.jit(
+        lambda a, b: lpips_apply(lp_params, a, b, normalize=True,
+                                 compute_dtype=cd))
     return inception, lp
 
 

@@ -67,9 +67,13 @@ def _unit_normalize(x, eps=1e-10):
 
 
 def lpips_apply(params: Params, img0: jnp.ndarray, img1: jnp.ndarray, *,
-                normalize: bool = True) -> jnp.ndarray:
+                normalize: bool = True, compute_dtype=None) -> jnp.ndarray:
     """Per-image LPIPS distance [N]. normalize=True: inputs in [0,1]
-    (the reference eval passes normalize=True, evaluate_fid_lpips.py:252)."""
+    (the reference eval passes normalize=True, evaluate_fid_lpips.py:252).
+
+    compute_dtype='bfloat16' runs the AlexNet conv stack in bf16; the
+    normalize/diff/head math stays f32 (sum-of-squares is precision-
+    sensitive). Bounded by tests/test_evalx.py::test_detector_bf16_tolerance."""
     if normalize:
         img0 = 2 * img0 - 1
         img1 = 2 * img1 - 1
@@ -77,10 +81,15 @@ def lpips_apply(params: Params, img0: jnp.ndarray, img1: jnp.ndarray, *,
     scale = jnp.asarray(_SCALE)
     x0 = (img0 - shift) / scale
     x1 = (img1 - shift) / scale
+    if compute_dtype is not None:
+        x0 = x0.astype(compute_dtype)
+        x1 = x1.astype(compute_dtype)
     taps0 = _features(params, x0)
     taps1 = _features(params, x1)
     total = 0.0
     for i, (t0, t1) in enumerate(zip(taps0, taps1)):
+        t0 = t0.astype(jnp.float32)
+        t1 = t1.astype(jnp.float32)
         d = jnp.square(_unit_normalize(t0) - _unit_normalize(t1))
         lin = params[f"lin{i}"]["weight"]  # [1, 1, C, 1]
         v = lax.conv_general_dilated(

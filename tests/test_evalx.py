@@ -42,6 +42,35 @@ def test_lpips_properties():
     assert (d_diff > 0).all()
 
 
+@pytest.mark.slow
+def test_detector_bf16_tolerance():
+    """compute_dtype='bfloat16' (cli/evaluate --detector-dtype bfloat16,
+    bench eval_imgs_per_sec_bf16_detectors) must stay metrically close to
+    f32. Bounds set from measured deltas with random weights (LPIPS
+    per-image rel err max 5e-4; Inception elementwise rel err mean 0.5%)
+    with ~4x margin."""
+    inc = inception_init(jax.random.PRNGKey(0))
+    lp = lpips_init(jax.random.PRNGKey(1))
+    a = jax.random.uniform(jax.random.PRNGKey(2), (8, 64, 64, 3))
+    b = jnp.clip(a + 0.1 * jax.random.normal(jax.random.PRNGKey(3),
+                                             a.shape), 0, 1)
+
+    # LPIPS: the scalar metric itself, per image.
+    l32 = np.asarray(lpips_apply(lp, a, b))
+    l16 = np.asarray(lpips_apply(lp, a, b, compute_dtype="bfloat16"))
+    rel = np.abs(l16 - l32) / (np.abs(l32) + 1e-9)
+    assert rel.max() < 2e-3, rel
+
+    # Inception: FID is a function of feature mean+covariance; bound the
+    # per-image feature vector drift in L2 (drives both statistics).
+    f32_feats = np.asarray(inception_apply(inc, a))
+    f16_feats = np.asarray(inception_apply(inc, a,
+                                           compute_dtype="bfloat16"))
+    l2_rel = (np.linalg.norm(f16_feats - f32_feats, axis=1)
+              / np.linalg.norm(f32_feats, axis=1))
+    assert l2_rel.max() < 3e-2, l2_rel
+
+
 def test_feature_stats_streaming_matches_numpy():
     rng = np.random.RandomState(0)
     x = rng.randn(100, 16)
