@@ -103,8 +103,17 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
         z = None
         if z_npy is not None:
             import numpy as np
+            from ..models.comodgan import CoModGANConfig
 
-            z = np.load(z_npy).reshape(1, -1).astype("float32")
+            z = np.load(z_npy)
+            z_dim = CoModGANConfig().z_dim
+            if z.size != z_dim:
+                raise SystemExit(
+                    f"--z-npy must hold one latent of {z_dim} values "
+                    f"([{z_dim}] or [1, {z_dim}]); got shape {z.shape}. "
+                    "It is broadcast over the batch — per-image latents "
+                    "are not supported.")
+            z = z.reshape(1, z_dim).astype("float32")
         return load_comodgan_forward(model_name, model_path, dtype,
                                      ch_base=ch_base, ch_max=ch_max,
                                      z=z, noise_mode=noise_mode)

@@ -48,8 +48,10 @@ def get_args(argv=None):
     p.add_argument("--detector-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="bfloat16 runs the detector conv stacks in bf16 "
-                   "(~2x faster scoring; shifts FID slightly — keep "
-                   "float32 when comparing against published numbers).")
+                   "(faster scoring — ~5%% end-to-end at 512/bs128 where "
+                   "the generator dominates, more when scoring cached "
+                   "images; shifts FID slightly — keep float32 when "
+                   "comparing against published numbers).")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true", default=None,
                    help="shard eval batches over all devices (default: on "

@@ -167,7 +167,7 @@ def inception_apply(params: Params, x: jnp.ndarray, *,
     """x: NHWC float in [0,1] -> [N, 2048] pool features.
 
     compute_dtype='bfloat16' runs the conv stack in bf16 (weights cast
-    per-layer, output pooled in f32) — ~2x faster scoring on TPU; shifts
+    per-layer, output pooled in f32) — faster scoring on TPU; shifts
     FID slightly (tests/test_evalx.py::test_detector_bf16_tolerance
     bounds it), so f32 stays the default for metric fidelity."""
     if resize_input:

@@ -32,14 +32,18 @@ def _host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 lists "flags"; aarch64 lists "Features".
+                if line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
                     return hashlib.md5(feats.encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
 
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+    # platform.processor() is often "" on Linux; fold in machine+platform
+    # so distinct architectures at least get distinct cache dirs.
+    ident = f"{platform.machine()}|{platform.platform()}|{platform.processor()}"
+    return hashlib.md5(ident.encode()).hexdigest()[:10]
 
 
 def default_cache_dir() -> str:
@@ -66,9 +70,12 @@ def enable_persistent_cache(
         path = os.environ.get("MIGAN_TPU_COMPILE_CACHE") or default_cache_dir()
     if str(path).strip().lower() in _DISABLED:
         return None
-    if min_compile_time_secs is None:
-        min_compile_time_secs = float(
-            os.environ.get("MIGAN_TPU_COMPILE_CACHE_MIN_SECS", "0.1"))
+    try:
+        if min_compile_time_secs is None:
+            min_compile_time_secs = float(
+                os.environ.get("MIGAN_TPU_COMPILE_CACHE_MIN_SECS", "0.1"))
+    except ValueError:
+        min_compile_time_secs = 0.1  # malformed env var: keep the default
     try:
         import jax
 

@@ -132,3 +132,16 @@ def test_demo_cli_comodgan_z_injection_parity(tmp_path):
 
     d = np.abs(got - want)
     assert d.max() <= 1, f"composite parity: max |diff| {d.max()}"
+
+
+def test_demo_cli_z_npy_shape_validated(tmp_path):
+    """--z-npy with the wrong number of values must fail at load time with
+    a clear message, not a shape error deep inside the jitted mapping net."""
+    import pytest
+    from migan_tpu.cli.demo import load_model
+
+    z_npy = str(tmp_path / "bad_z.npy")
+    np.save(z_npy, np.zeros((4, 512), np.float32))  # per-image latents
+    with pytest.raises(SystemExit, match="512"):
+        load_model("comodgan-256", "/nonexistent.npz", "float32",
+                   z_npy=z_npy)
