@@ -54,6 +54,15 @@ def get_args(argv=None):
                    help="comodgan-*: synthesis noise mode (reference "
                    "stylegan.py synthesis_layer); 'const' replays the "
                    "imported noise_const buffers deterministically.")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="Images per device dispatch. 1 (default) replays "
+                   "the reference demo loop exactly; >1 runs the batched "
+                   "serving path: host decode/encode on a thread pool "
+                   "overlapped with device compute (outputs are identical "
+                   "— the model is batch-independent).")
+    p.add_argument("--io-workers", type=int, default=8,
+                   help="Host threads for image decode/preprocess and "
+                   "postprocess/encode when --batch-size > 1.")
     return p.parse_args(argv)
 
 
@@ -121,6 +130,83 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
     raise ValueError(f"Unsupported model name: {model_name}")
 
 
+def _list_images(images_dir) -> list:
+    img_paths = []
+    for ext in (".jpg", ".jpeg", ".png"):
+        img_paths += glob(os.path.join(str(images_dir), "**", f"*{ext}"),
+                          recursive=True)
+    return sorted(img_paths)
+
+
+def run_batched(forward, resolution: int, img_paths: list, masks_dir,
+                output_dir, *, invert_mask: bool = False, batch_size: int = 8,
+                io_workers: int = 8) -> int:
+    """Batched serving loop: decode/preprocess on a thread pool, dispatch
+    full [B,res,res,4] batches (one compiled program — the tail batch is
+    zero-padded), postprocess/encode on the pool, and keep one batch in
+    flight so host IO overlaps device compute (JAX dispatch is async; only
+    np.asarray on a result blocks). Outputs match the per-image loop
+    exactly: the generator is fully convolutional with no cross-batch ops.
+    Returns the number of images written."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    def _load(img_path):
+        stem = "".join(os.path.basename(img_path).split(".")[:-1])
+        mask_path = os.path.join(str(masks_dir), stem + ".png")
+        img = Image.open(img_path).convert("RGB")
+        img_resized = resize_max(img, max_size=resolution)
+        mask = read_mask(mask_path, invert=invert_mask)
+        mask_resized = resize_max(mask, max_size=resolution,
+                                  interpolation=Image.NEAREST)
+        x = preprocess(img_resized, mask_resized, resolution)
+        return img_path, img_resized, mask_resized, x
+
+    def _save(result, img_path, img_resized, mask_resized):
+        composed = postprocess(result, img_resized, mask_resized)
+        composed.save(output_dir / f"{Path(img_path).stem}.png")
+
+    n_written = 0
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        loads = pool.map(_load, img_paths)
+
+        def _batches():
+            metas, xs = [], []
+            for meta_x in loads:
+                metas.append(meta_x[:3])
+                xs.append(meta_x[3])
+                if len(xs) == batch_size:
+                    yield metas, np.concatenate(xs, axis=0)
+                    metas, xs = [], []
+            if xs:  # zero-pad the tail to the compiled batch shape
+                pad = batch_size - len(xs)
+                xs += [np.zeros_like(xs[0])] * pad
+                yield metas, np.concatenate(xs, axis=0)
+
+        pending = None  # (device_result, metas) kept in flight
+        saves = []
+        for metas, x in _batches():
+            y = forward(x)  # async dispatch; do not block here
+            if pending is not None:
+                prev_y, prev_metas = pending
+                res_np = np.asarray(prev_y)
+                for i, (img_path, img_r, mask_r) in enumerate(prev_metas):
+                    saves.append(pool.submit(_save, res_np[i], img_path,
+                                             img_r, mask_r))
+            pending = (y, metas)
+        if pending is not None:
+            prev_y, prev_metas = pending
+            res_np = np.asarray(prev_y)
+            for i, (img_path, img_r, mask_r) in enumerate(prev_metas):
+                saves.append(pool.submit(_save, res_np[i], img_path,
+                                         img_r, mask_r))
+        for s in saves:
+            s.result()
+            n_written += 1
+    return n_written
+
+
 def main(argv=None):
     args = get_args(argv)
     from ..utils.compile_cache import enable_persistent_cache
@@ -132,11 +218,20 @@ def main(argv=None):
                                      ch_max=args.ch_max, z_npy=args.z_npy,
                                      noise_mode=args.noise_mode)
 
-    img_paths = []
-    for ext in (".jpg", ".jpeg", ".png"):
-        img_paths += glob(os.path.join(str(args.images_dir), "**", f"*{ext}"),
-                          recursive=True)
-    img_paths = sorted(img_paths)
+    img_paths = _list_images(args.images_dir)
+
+    if args.batch_size > 1:
+        import time
+
+        t0 = time.perf_counter()
+        n = run_batched(forward, resolution, img_paths, args.masks_dir,
+                        args.output_dir, invert_mask=args.invert_mask,
+                        batch_size=args.batch_size,
+                        io_workers=args.io_workers)
+        dt = time.perf_counter() - t0
+        print(f"inpainted {n} images in {dt:.2f}s "
+              f"({n / dt:.1f} img/s end-to-end)")
+        return
 
     from PIL import Image
 

@@ -22,7 +22,12 @@ from PIL import Image
 
 def read_mask(mask_path: str, invert: bool = False) -> Image.Image:
     """Load a mask as 8-bit L, 255=known 0=hole (reference demo.py:26-45)."""
-    mask = Image.open(mask_path)
+    return read_mask_image(Image.open(mask_path), invert=invert)
+
+
+def read_mask_image(mask: Image.Image, invert: bool = False) -> Image.Image:
+    """`read_mask` on an already-open PIL image (the serving path decodes
+    from request bytes instead of a path)."""
     mask = resize_max(mask, max_size=512, interpolation=Image.NEAREST)
     mask = np.array(mask)
     if mask.ndim == 3:

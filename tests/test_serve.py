@@ -1,0 +1,171 @@
+"""HTTP serving surface (`cli/serve.py`) — beyond-reference capability.
+
+Starts the ThreadingHTTPServer in-process on an ephemeral port with a
+random-weight migan generator (res 64 for compile speed) and drives it with stdlib urllib clients:
+health endpoint, single request semantics (known region preserved, hole
+painted, parity with the demo loop), concurrent requests actually
+micro-batched, and malformed-request handling.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from migan_tpu.models.migan_inference import (GeneratorConfig,
+                                                  generator_init)
+    from migan_tpu.models.migan_fold import generator_apply_fast
+    import jax.numpy as jnp
+
+    # res 64 keeps the XLA:CPU compiles (several batch buckets) out of the
+    # fast suite's budget; make_server is resolution-agnostic.
+    cfg = GeneratorConfig(resolution=64)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def forward(x):
+        return generator_apply_fast(params, x, cfg).astype(jnp.float32)
+
+    from migan_tpu.cli.serve import make_server
+
+    srv, batcher = make_server(forward, 64, "127.0.0.1", 0, "migan-64",
+                               max_batch=4, window_ms=50.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    yield port, batcher, params, cfg
+    srv.shutdown()
+    batcher.close()
+    srv.server_close()
+
+
+def _png_b64(arr, mode=None):
+    img = Image.fromarray(arr) if mode is None else \
+        Image.fromarray(arr).convert(mode)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _make_pair(seed=0, size=(64, 64)):
+    rng = np.random.RandomState(seed)
+    h, w = size
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = 0
+    return img, mask
+
+
+def _inpaint(port, img, mask, timeout=120):
+    body = json.dumps({"image": _png_b64(img),
+                       "mask": _png_b64(mask, "L")}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/inpaint", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/png"
+        return np.asarray(Image.open(io.BytesIO(resp.read())))
+
+
+def test_healthz(server):
+    port = server[0]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=30) as resp:
+        info = json.loads(resp.read())
+    assert info["status"] == "ok"
+    assert info["model"] == "migan-64"
+    assert info["resolution"] == 64
+
+
+def test_single_request_composite_semantics(server):
+    port = server[0]
+    img, mask = _make_pair(seed=1)
+    got = _inpaint(port, img, mask)
+    assert got.shape == (64, 64, 3)
+    known = mask == 255
+    assert np.array_equal(got[known], img[known]), "known region kept"
+    assert not np.array_equal(got[~known], img[~known]), "hole painted"
+
+
+def test_parity_with_demo_loop(server):
+    """The served composite equals the demo per-image loop on the same
+    weights (1-uint8 rounding tolerance: different compiled batch shapes)."""
+    port, _, params, cfg = server
+    from migan_tpu.data.preprocess import (preprocess, postprocess,
+                                           read_mask_image, resize_max)
+    from migan_tpu.models.migan_fold import generator_apply_fast
+
+    img, mask = _make_pair(seed=2)
+    got = _inpaint(port, img, mask)
+
+    pil_img = Image.fromarray(img)
+    img_r = resize_max(pil_img, max_size=64)
+    mask_r = resize_max(read_mask_image(Image.fromarray(mask).convert("L")),
+                        max_size=64, interpolation=Image.NEAREST)
+    x = preprocess(img_r, mask_r, 64)
+    y = np.asarray(generator_apply_fast(params, x, cfg))[0]
+    want = np.asarray(postprocess(y, img_r, mask_r))
+    d = np.abs(got.astype(np.int16) - want.astype(np.int16)).max()
+    assert d <= 1, f"serve vs demo loop: max |diff| {d}"
+
+
+def test_concurrent_requests_micro_batch(server):
+    """8 concurrent clients against max_batch=4 / 50 ms window must
+    produce at least one dispatch with batch > 1, and every client its
+    own correct composite."""
+    port, batcher = server[0], server[1]
+    batcher.warmup()  # compile every bucket first so client timeouts
+    # measure serving, not XLA:CPU compile time under suite load
+    n0 = len(batcher.batch_sizes_served)
+
+    pairs = [_make_pair(seed=10 + i) for i in range(8)]
+    results = [None] * 8
+    errors = []
+
+    def _client(i):
+        try:
+            results[i] = _inpaint(port, *pairs[i])
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=_client, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    for i, (img, mask) in enumerate(pairs):
+        known = mask == 255
+        assert np.array_equal(results[i][known], img[known]), f"client {i}"
+
+    served = batcher.batch_sizes_served[n0:]
+    assert max(served) > 1, f"expected micro-batching, got batches {served}"
+
+
+def test_bad_request_and_404(server):
+    port = server[0]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/inpaint", data=b"not json",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+    assert ei.value.code == 404
