@@ -167,13 +167,27 @@ def run_batched(forward, resolution: int, img_paths: list, masks_dir,
         composed = postprocess(result, img_resized, mask_resized)
         composed.save(output_dir / f"{Path(img_path).stem}.png")
 
+    from collections import deque
+
     n_written = 0
+    # Bound host memory: at most ~2 batches of decoded inputs and saves in
+    # flight, whatever the directory size (pool.map would submit ALL loads
+    # eagerly — 10k images of decoded float32 input is tens of GB).
+    max_inflight = max(2 * batch_size, 2 * io_workers)
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
-        loads = pool.map(_load, img_paths)
+
+        def _loads():
+            inflight = deque()
+            for p in img_paths:
+                inflight.append(pool.submit(_load, p))
+                if len(inflight) >= max_inflight:
+                    yield inflight.popleft().result()
+            while inflight:
+                yield inflight.popleft().result()
 
         def _batches():
             metas, xs = [], []
-            for meta_x in loads:
+            for meta_x in _loads():
                 metas.append(meta_x[:3])
                 xs.append(meta_x[3])
                 if len(xs) == batch_size:
@@ -184,26 +198,30 @@ def run_batched(forward, resolution: int, img_paths: list, masks_dir,
                 xs += [np.zeros_like(xs[0])] * pad
                 yield metas, np.concatenate(xs, axis=0)
 
+        saves = deque()
+
+        def _flush_saves(bound):
+            nonlocal n_written
+            while len(saves) > bound:
+                saves.popleft().result()
+                n_written += 1
+
+        def _submit_saves(y, metas):
+            res_np = np.asarray(y)  # blocks on the device result
+            for i, (img_path, img_r, mask_r) in enumerate(metas):
+                saves.append(pool.submit(_save, res_np[i], img_path,
+                                         img_r, mask_r))
+            _flush_saves(max_inflight)
+
         pending = None  # (device_result, metas) kept in flight
-        saves = []
         for metas, x in _batches():
             y = forward(x)  # async dispatch; do not block here
             if pending is not None:
-                prev_y, prev_metas = pending
-                res_np = np.asarray(prev_y)
-                for i, (img_path, img_r, mask_r) in enumerate(prev_metas):
-                    saves.append(pool.submit(_save, res_np[i], img_path,
-                                             img_r, mask_r))
+                _submit_saves(*pending)
             pending = (y, metas)
         if pending is not None:
-            prev_y, prev_metas = pending
-            res_np = np.asarray(prev_y)
-            for i, (img_path, img_r, mask_r) in enumerate(prev_metas):
-                saves.append(pool.submit(_save, res_np[i], img_path,
-                                         img_r, mask_r))
-        for s in saves:
-            s.result()
-            n_written += 1
+            _submit_saves(*pending)
+        _flush_saves(0)
     return n_written
 
 
