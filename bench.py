@@ -412,12 +412,15 @@ def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8,
     return best
 
 
-def _probe_backend(timeout_s: int = 300) -> bool:
+def _probe_backend(timeout_s: int = 900) -> bool:
     """Fail fast when the remote TPU tunnel is down: backend init hangs
     indefinitely in-process (observed), so probe it in a bounded
     subprocess first and emit a diagnostic JSON line instead of hanging
-    the driver."""
+    the driver. 900 s: on a degraded tunnel, device init alone was
+    measured at ~290 s (2026-08-19) — a 300 s probe false-negatives."""
     import subprocess
+
+    timeout_s = float(os.environ.get("MIGAN_TPU_PROBE_TIMEOUT", timeout_s))
 
     code = ("import jax, numpy as np, jax.numpy as jnp;"
             "print(float(np.asarray(jax.jit(lambda x: jnp.sum(x + 1))"
