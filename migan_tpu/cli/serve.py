@@ -22,6 +22,18 @@ followers after the first), zero-pads to the next power-of-two bucket
 (bounded set of compiled programs), and fans results back out. Host
 decode/encode happens on the HTTP handler threads, so it overlaps device
 compute.
+
+Pipeline mode (--pipeline): instead of resizing the whole image down to
+model resolution, requests run through the full app pipeline (mask-bbox
+crop -> resize -> G -> feathered composite back at original pixel scale;
+export/pipeline.py — the reference ships this as its deployable ONNX
+artifact, scripts/create_onnx_pipeline.py:119-264, but never serves it).
+Arbitrary image sizes are handled by padding to static size buckets
+(--buckets; mask pad = known, so the bbox never grows into the padding),
+one compiled program per bucket; oversize images round up to the next
+multiple of the largest bucket and compile on first use. Pipeline
+requests are bs=1 by construction (one crop box per image), so they run
+serialized on the model thread rather than micro-batched.
 """
 
 from __future__ import annotations
@@ -58,6 +70,13 @@ def get_args(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="Compile every batch bucket before accepting "
                    "traffic (first requests otherwise pay the compile).")
+    p.add_argument("--pipeline", action="store_true",
+                   help="Serve the full app pipeline (bbox crop + feathered "
+                   "composite at original size) instead of whole-image "
+                   "resize; accepts arbitrary image sizes.")
+    p.add_argument("--buckets", default="512,1024",
+                   help="Pipeline mode: comma-separated square size buckets "
+                   "images are padded to (one compiled program each).")
     return p.parse_args(argv)
 
 
@@ -153,6 +172,77 @@ class MicroBatcher:
                     r.event.set()
 
 
+class PipelineRunner:
+    """Serialized bs=1 executor for the full-app pipeline over size buckets.
+
+    The pipeline program computes ONE crop box per image (reference
+    contract, scripts/create_onnx_pipeline.py:132-231), so requests are
+    inherently bs=1; a lock serializes device access across HTTP handler
+    threads. Images pad to the smallest bucket that fits (mask pad = 255
+    = known, so the bbox and therefore the generator input are identical
+    to running at the exact image size whenever the clamped crop box stays
+    inside the real image); oversize images round up to the next multiple
+    of the largest bucket and jit-compile on first use."""
+
+    def __init__(self, pipeline, buckets):
+        self.pipeline = pipeline
+        self.buckets = sorted(int(b) for b in buckets)
+        if not self.buckets:
+            raise ValueError("pipeline mode needs at least one size bucket")
+        self._lock = threading.Lock()
+        self.bucket_counts: dict = {}  # bucket -> requests served
+
+    def close(self):  # shutdown contract shared with MicroBatcher
+        pass
+
+    def bucket_for(self, h: int, w: int) -> int:
+        m = max(h, w)
+        for b in self.buckets:
+            if b >= m:
+                return b
+        step = self.buckets[-1]
+        return ((m + step - 1) // step) * step
+
+    def warmup(self):
+        """Compile every configured bucket (no-hole masks: fast + valid)."""
+        for b in self.buckets:
+            img = np.zeros((1, b, b, 3), np.uint8)
+            mask = np.full((1, b, b, 1), 255, np.uint8)
+            np.asarray(self.pipeline(img, mask))
+
+    def run(self, img_np: np.ndarray, mask_np: np.ndarray) -> np.ndarray:
+        """img_np [H,W,3] uint8, mask_np [H,W] uint8 binarized (255=known)
+        -> composited [H,W,3] uint8."""
+        h, w = img_np.shape[:2]
+        b = self.bucket_for(h, w)
+        pi = np.zeros((1, b, b, 3), np.uint8)
+        pm = np.full((1, b, b, 1), 255, np.uint8)
+        pi[0, :h, :w] = img_np
+        pm[0, :h, :w, 0] = mask_np
+        with self._lock:
+            out = np.asarray(self.pipeline(pi, pm))
+            self.bucket_counts[b] = self.bucket_counts.get(b, 0) + 1
+        return out[0, :h, :w]
+
+
+def _decode_pipeline_request(body: bytes):
+    """JSON body -> (img [H,W,3] uint8, mask [H,W] uint8 binarized).
+
+    No resizing: pipeline mode keeps original pixels. A mask whose size
+    differs from the image is NEAREST-resized to match (the reference
+    pipeline requires equal sizes; this is the serving-side convenience)."""
+    from PIL import Image
+
+    payload = json.loads(body)
+    img = Image.open(io.BytesIO(base64.b64decode(payload["image"])))
+    img = img.convert("RGB")
+    mask = Image.open(io.BytesIO(base64.b64decode(payload["mask"])))
+    mask = read_mask_image(mask, invert=bool(payload.get("invert_mask")))
+    if mask.size != img.size:
+        mask = mask.resize(img.size, Image.NEAREST)
+    return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)
+
+
 def _decode_request(body: bytes, resolution: int):
     """JSON body -> (x [1,res,res,4], img_resized PIL, mask_resized PIL)."""
     from PIL import Image
@@ -171,15 +261,17 @@ def _decode_request(body: bytes, resolution: int):
 
 def make_server(forward, resolution: int, host: str, port: int,
                 model_name: str, *, max_batch: int = 16,
-                window_ms: float = 2.0):
-    """Build (ThreadingHTTPServer, MicroBatcher); caller runs
-    serve_forever() and owns shutdown."""
+                window_ms: float = 2.0, pipeline_runner=None):
+    """Build (ThreadingHTTPServer, MicroBatcher | PipelineRunner); caller
+    runs serve_forever() and owns shutdown. With a `pipeline_runner`,
+    /inpaint routes through the full-app pipeline (arbitrary sizes) and
+    no micro-batcher is started."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from ..data.preprocess import postprocess
 
-    batcher = MicroBatcher(forward, resolution, max_batch=max_batch,
-                           window_ms=window_ms)
+    batcher = None if pipeline_runner is not None else MicroBatcher(
+        forward, resolution, max_batch=max_batch, window_ms=window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; stats via /healthz
@@ -194,28 +286,59 @@ def make_server(forward, resolution: int, host: str, port: int,
 
         def do_GET(self):
             if self.path == "/healthz":
-                served = batcher.batch_sizes_served
                 info = {
                     "status": "ok",
                     "model": model_name,
                     "resolution": resolution,
-                    "requests_served": sum(served),
-                    "dispatches": len(served),
-                    "mean_batch": (round(sum(served) / len(served), 2)
-                                   if served else 0.0),
                 }
+                if pipeline_runner is not None:
+                    info["mode"] = "pipeline"
+                    info["buckets"] = pipeline_runner.buckets
+                    info["requests_served"] = sum(
+                        pipeline_runner.bucket_counts.values())
+                    info["bucket_counts"] = {
+                        str(k): v for k, v in
+                        sorted(pipeline_runner.bucket_counts.items())}
+                else:
+                    served = batcher.batch_sizes_served
+                    info["mode"] = "resize"
+                    info["requests_served"] = sum(served)
+                    info["dispatches"] = len(served)
+                    info["mean_batch"] = (round(sum(served) / len(served), 2)
+                                          if served else 0.0)
                 self._send(200, "application/json",
                            json.dumps(info).encode())
             else:
                 self._send(404, "text/plain", b"not found")
 
+        def _post_pipeline(self, body: bytes):
+            try:
+                img_np, mask_np = _decode_pipeline_request(body)
+            except Exception as e:
+                self._send(400, "text/plain",
+                           f"bad request: {type(e).__name__}: {e}".encode())
+                return
+            try:
+                out = pipeline_runner.run(img_np, mask_np)
+            except Exception as e:  # surface device errors to the client
+                self._send(500, "text/plain",
+                           f"{type(e).__name__}: {e}".encode())
+                return
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(out).save(buf, format="PNG")
+            self._send(200, "image/png", buf.getvalue())
+
         def do_POST(self):
             if self.path != "/inpaint":
                 self._send(404, "text/plain", b"not found")
                 return
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            if pipeline_runner is not None:
+                self._post_pipeline(body)
+                return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
                 x, img_resized, mask_resized = _decode_request(body,
                                                                resolution)
             except Exception as e:
@@ -233,7 +356,8 @@ def make_server(forward, resolution: int, host: str, port: int,
             self._send(200, "image/png", buf.getvalue())
 
     server = ThreadingHTTPServer((host, port), Handler)
-    return server, batcher
+    return server, (pipeline_runner if pipeline_runner is not None
+                    else batcher)
 
 
 def main(argv=None):
@@ -245,15 +369,24 @@ def main(argv=None):
 
     forward, resolution = load_model(args.model_name, args.model_path,
                                      args.dtype)
+    runner = None
+    if args.pipeline:
+        from ..export.pipeline import make_pipeline
+        pipeline = make_pipeline(forward, resolution=resolution)
+        runner = PipelineRunner(pipeline, args.buckets.split(","))
     server, batcher = make_server(
         forward, resolution, args.host, args.port, args.model_name,
-        max_batch=args.max_batch, window_ms=args.batch_window_ms)
+        max_batch=args.max_batch, window_ms=args.batch_window_ms,
+        pipeline_runner=runner)
     if args.warmup:
-        print("warming up batch buckets...", flush=True)
+        print("warming up "
+              + ("pipeline size buckets..." if args.pipeline
+                 else "batch buckets..."), flush=True)
         batcher.warmup()
+    mode = (f"pipeline buckets {args.buckets}" if args.pipeline else
+            f"max batch {args.max_batch}, window {args.batch_window_ms} ms")
     print(f"serving {args.model_name} on http://{args.host}:{args.port} "
-          f"(max batch {args.max_batch}, window {args.batch_window_ms} ms)",
-          flush=True)
+          f"({mode})", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -157,6 +157,90 @@ def test_concurrent_requests_micro_batch(server):
     assert max(served) > 1, f"expected micro-batching, got batches {served}"
 
 
+@pytest.fixture(scope="module")
+def pipeline_server():
+    """Pipeline-mode server (bbox crop + feathered composite, arbitrary
+    image sizes) at res 64 with tiny buckets."""
+    from migan_tpu.models.migan_inference import (GeneratorConfig,
+                                                  generator_init)
+    from migan_tpu.models.migan_fold import generator_apply_fast
+    from migan_tpu.export.pipeline import make_pipeline
+    from migan_tpu.cli.serve import PipelineRunner, make_server
+    import jax.numpy as jnp
+
+    cfg = GeneratorConfig(resolution=64)
+    params = generator_init(jax.random.PRNGKey(3), cfg)
+
+    @jax.jit
+    def forward(x):
+        return generator_apply_fast(params, x, cfg).astype(jnp.float32)
+
+    pipeline = make_pipeline(forward, resolution=64)
+    runner = PipelineRunner(pipeline, [96])
+    srv, returned = make_server(forward, 64, "127.0.0.1", 0, "migan-64",
+                                pipeline_runner=runner)
+    assert returned is runner
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    yield port, runner, pipeline
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_pipeline_serve_arbitrary_size_parity(pipeline_server):
+    """A non-square, non-bucket-size request returns the original
+    dimensions, preserves pixels outside the crop box, and matches the
+    pipeline program run directly with the same bucket padding."""
+    port, runner, pipeline = pipeline_server
+    h, w = 80, 70
+    rng = np.random.RandomState(5)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[20:44, 15:39] = 0
+
+    got = _inpaint(port, img, mask, timeout=600)
+    assert got.shape == (h, w, 3)
+
+    b = runner.bucket_for(h, w)
+    assert b == 96
+    pi = np.zeros((1, b, b, 3), np.uint8)
+    pm = np.full((1, b, b, 1), 255, np.uint8)
+    pi[0, :h, :w] = img
+    pm[0, :h, :w, 0] = mask
+    want = np.asarray(pipeline(pi, pm))[0, :h, :w]
+    assert np.array_equal(got, want), "served != direct pipeline program"
+    # the hole itself must be painted
+    assert not np.array_equal(got[20:44, 15:39], img[20:44, 15:39])
+
+
+def test_pipeline_serve_oversize_rolls_up_bucket(pipeline_server):
+    """Images larger than every configured bucket round up to the next
+    multiple of the largest bucket and still serve correctly."""
+    port, runner, _ = pipeline_server
+    assert runner.bucket_for(100, 97) == 192
+    h, w = 100, 97
+    rng = np.random.RandomState(6)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[30:60, 40:70] = 0
+    got = _inpaint(port, img, mask, timeout=600)
+    assert got.shape == (h, w, 3)
+    assert not np.array_equal(got[30:60, 40:70], img[30:60, 40:70])
+    assert 192 in runner.bucket_counts
+
+
+def test_pipeline_healthz_reports_mode(pipeline_server):
+    port = pipeline_server[0]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=30) as resp:
+        info = json.loads(resp.read())
+    assert info["mode"] == "pipeline"
+    assert info["buckets"] == [96]
+    assert info["requests_served"] >= 1
+    assert "96" in info["bucket_counts"]
+
+
 def test_bad_request_and_404(server):
     port = server[0]
     req = urllib.request.Request(
