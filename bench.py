@@ -29,6 +29,28 @@ def _bf16_params(params):
         lambda p: p.astype(jnp.bfloat16) if p.ndim >= 1 else p, params)
 
 
+def _transient(e) -> bool:
+    """Heuristic: is this error worth one retry? OOMs are deterministic
+    (and their recompiles expensive); anything else mid-sweep is most
+    likely a dropped remote-PJRT tunnel RPC (observed 2026-08-19: a
+    one-off JaxRuntimeError on an eval batch that succeeded on re-run)."""
+    s = str(e)
+    return not ("RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower())
+
+
+def _retry_once(fn, label):
+    """Run a measurement, retrying exactly once on transient errors so a
+    single dropped RPC can't silently degrade the round-end artifact."""
+    try:
+        return fn()
+    except Exception as e:
+        if not _transient(e):
+            raise
+        print(f"# {label}: {type(e).__name__} — retrying once",
+              file=sys.stderr)
+        return fn()
+
+
 def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     import jax
     import jax.numpy as jnp
@@ -54,24 +76,26 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     def checksum(y):
         return jnp.sum(y.astype(jnp.float32))
 
+    def measure(bs):
+        x = jnp.zeros((bs, 512, 512, 4), jnp.bfloat16)
+        for _ in range(warmup):
+            # NOTE: block_until_ready is unreliable through the remote
+            # PJRT tunnel; a scalar host fetch is the only true sync.
+            float(np.asarray(checksum(fwd(params, x))))
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(iters):
+            y = fwd(params, x)
+        # device stream is FIFO: syncing on the last call's checksum
+        # bounds the completion of all `iters` executions.
+        float(np.asarray(checksum(y)))
+        return bs * iters / (time.perf_counter() - t0)
+
     best = 0.0
     best_bs = None
     for bs in batch_sizes:
         try:
-            x = jnp.zeros((bs, 512, 512, 4), jnp.bfloat16)
-            for _ in range(warmup):
-                # NOTE: block_until_ready is unreliable through the remote
-                # PJRT tunnel; a scalar host fetch is the only true sync.
-                float(np.asarray(checksum(fwd(params, x))))
-            t0 = time.perf_counter()
-            y = None
-            for _ in range(iters):
-                y = fwd(params, x)
-            # device stream is FIFO: syncing on the last call's checksum
-            # bounds the completion of all `iters` executions.
-            float(np.asarray(checksum(y)))
-            dt = time.perf_counter() - t0
-            ips = bs * iters / dt
+            ips = _retry_once(lambda: measure(bs), f"batch {bs}")
         except Exception as e:  # OOM at large batch etc.
             print(f"# batch {bs}: {type(e).__name__}", file=sys.stderr)
             continue
@@ -106,18 +130,22 @@ def bench_migan256(batch_sizes=(128, 256), warmup=3, iters=10):
     def checksum(y):
         return jnp.sum(y.astype(jnp.float32))
 
+    def measure(bs):
+        x = jnp.zeros((bs, 256, 256, 4), jnp.bfloat16)
+        for _ in range(warmup):
+            float(np.asarray(checksum(fwd(params, x))))
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(iters):
+            y = fwd(params, x)
+        float(np.asarray(checksum(y)))
+        return bs * iters / (time.perf_counter() - t0)
+
     best = 0.0
     for bs in batch_sizes:
         try:
-            x = jnp.zeros((bs, 256, 256, 4), jnp.bfloat16)
-            for _ in range(warmup):
-                float(np.asarray(checksum(fwd(params, x))))
-            t0 = time.perf_counter()
-            y = None
-            for _ in range(iters):
-                y = fwd(params, x)
-            float(np.asarray(checksum(y)))
-            best = max(best, bs * iters / (time.perf_counter() - t0))
+            best = max(best, _retry_once(lambda: measure(bs),
+                                         f"256 batch {bs}"))
         except Exception as e:  # compile OOM at large batch
             print(f"# 256 batch {bs}: {type(e).__name__}", file=sys.stderr)
     return best
@@ -215,6 +243,7 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=4, steps_per_call=8,
     last_err = None
     b = bs
     k = steps_per_call
+    retried = False
     while b >= 2:
         try:
             tcfg = TrainConfig(batch_size=b,
@@ -266,6 +295,12 @@ def bench_train_step(res=256, bs=32, warmup=2, iters=4, steps_per_call=8,
         except Exception as e:  # compile OOM at this batch — halve
             print(f"# train bs {b}: {type(e).__name__}", file=sys.stderr)
             last_err = e
+            if _transient(e) and not retried:
+                # one retry at the SAME batch before halving, so a dropped
+                # tunnel RPC can't silently publish a smaller-batch number
+                retried = True
+                continue
+            retried = False
             b //= 2
     raise last_err
 
@@ -386,20 +421,23 @@ def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8,
         return (jnp.sum(lp) + jnp.sum(ra.astype(jnp.float32))
                 + jnp.sum(fa.astype(jnp.float32)))
 
+    def measure(bs):
+        x = jnp.zeros((bs, res, res, 4), jnp.bfloat16)
+        imgs = jnp.zeros((bs, res, res, 3), jnp.float32)
+        masks = jnp.ones((bs, res, res, 1), jnp.float32)
+        for _ in range(warmup):
+            float(np.asarray(eval_step(x, imgs, masks)))
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(iters):
+            s = eval_step(x, imgs, masks)
+        float(np.asarray(s))
+        return bs * iters / (time.perf_counter() - t0)
+
     best = 0.0
     for bs in batch_sizes:
         try:
-            x = jnp.zeros((bs, res, res, 4), jnp.bfloat16)
-            imgs = jnp.zeros((bs, res, res, 3), jnp.float32)
-            masks = jnp.ones((bs, res, res, 1), jnp.float32)
-            for _ in range(warmup):
-                float(np.asarray(eval_step(x, imgs, masks)))
-            t0 = time.perf_counter()
-            s = None
-            for _ in range(iters):
-                s = eval_step(x, imgs, masks)
-            float(np.asarray(s))
-            ips = bs * iters / (time.perf_counter() - t0)
+            ips = _retry_once(lambda: measure(bs), f"eval batch {bs}")
         except Exception as e:  # OOM at large batch etc.
             print(f"# eval batch {bs}: {type(e).__name__}", file=sys.stderr)
             continue
@@ -456,7 +494,8 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# roofline failed: {type(e).__name__}: {e}", file=sys.stderr)
     try:
-        extra["p50_latency_ms"] = round(bench_latency_p50(), 2)
+        extra["p50_latency_ms"] = round(
+            _retry_once(bench_latency_p50, "p50 latency"), 2)
         extra["p50_note"] = (
             "bs=1 latency is dominated by the dev harness's remote-PJRT "
             "tunnel RPC (~25 ms RTT); device compute implied by batched "

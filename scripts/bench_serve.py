@@ -11,7 +11,9 @@ the micro-batcher's batch-size histogram.
 
 This measures the full serving stack (HTTP + base64 + PNG codec + host
 pre/post + device micro-batched forward) — the app-level counterpart of
-bench.py's device-only numbers.
+bench.py's device-only numbers. With --pipeline, clients send
+arbitrary-size (non-bucket, non-square) payloads through the full-app
+pipeline path instead and the report carries per-bucket dispatch counts.
 """
 
 import argparse
@@ -39,6 +41,15 @@ def get_args():
     p.add_argument("--requests-each", type=int, default=8)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--pipeline", action="store_true",
+                   help="Load-test pipeline mode: arbitrary-size payloads "
+                   "through the bbox-crop/feathered-composite app pipeline "
+                   "(serialized bs=1 device dispatches).")
+    p.add_argument("--buckets", default="512,1024",
+                   help="Pipeline mode size buckets.")
+    p.add_argument("--image-size", type=int, default=0,
+                   help="Pipeline mode payload height (width = 7/8 of it); "
+                   "default 0 = 3/4 of the largest bucket.")
     return p.parse_args()
 
 
@@ -51,13 +62,23 @@ def main():
     enable_persistent_cache()
     forward, resolution = load_model(args.model_name, args.model_path,
                                      args.dtype)
+    runner = None
+    if args.pipeline:
+        from migan_tpu.cli.serve import PipelineRunner
+        from migan_tpu.export.pipeline import make_pipeline
+
+        runner = PipelineRunner(make_pipeline(forward, resolution),
+                                args.buckets.split(","))
     server, batcher = make_server(forward, resolution, "127.0.0.1", 0,
                                   args.model_name, max_batch=args.max_batch,
-                                  window_ms=args.batch_window_ms)
+                                  window_ms=args.batch_window_ms,
+                                  pipeline_runner=runner)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     port = server.server_address[1]
 
-    print("warming up batch buckets...", file=sys.stderr)
+    print("warming up "
+          + ("pipeline size buckets..." if args.pipeline
+             else "batch buckets..."), file=sys.stderr)
     batcher.warmup()
 
     # One payload per client (distinct images; encode cost paid up front —
@@ -66,11 +87,15 @@ def main():
     payloads = []
     from PIL import Image
 
+    if args.pipeline:
+        ph = args.image_size or (runner.buckets[-1] * 3 // 4)
+        pw = ph * 7 // 8  # non-square: exercises the padding path
+    else:
+        ph = pw = resolution
     for _ in range(args.clients):
-        img = (rng.rand(resolution, resolution, 3) * 255).astype(np.uint8)
-        mask = np.full((resolution, resolution), 255, np.uint8)
-        mask[resolution // 4: 3 * resolution // 4,
-             resolution // 4: 3 * resolution // 4] = 0
+        img = (rng.rand(ph, pw, 3) * 255).astype(np.uint8)
+        mask = np.full((ph, pw), 255, np.uint8)
+        mask[ph // 4: 3 * ph // 4, pw // 4: 3 * pw // 4] = 0
         b = io.BytesIO()
         Image.fromarray(img).save(b, format="PNG")
         mb = io.BytesIO()
@@ -99,7 +124,7 @@ def main():
             with lat_lock:
                 lat.append(time.perf_counter() - t0)
 
-    n0 = len(batcher.batch_sizes_served)
+    n0 = 0 if args.pipeline else len(batcher.batch_sizes_served)
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(args.clients)]
     t0 = time.perf_counter()
@@ -113,19 +138,26 @@ def main():
         print(json.dumps({"error": errors[:3], "n_errors": len(errors)}))
         sys.exit(1)
     lat_ms = np.sort(np.asarray(lat)) * 1e3
-    served = batcher.batch_sizes_served[n0:]
-    hist = {}
-    for b in served:
-        hist[str(b)] = hist.get(str(b), 0) + 1
-    print(json.dumps({
+    out = {
         "serve_imgs_per_sec": round(len(lat) / wall, 2),
         "clients": args.clients,
         "requests": len(lat),
         "p50_ms": round(float(lat_ms[len(lat_ms) // 2]), 1),
         "p95_ms": round(float(lat_ms[int(len(lat_ms) * 0.95)]), 1),
-        "mean_batch": round(sum(served) / max(1, len(served)), 2),
-        "batch_hist": hist,
-    }))
+    }
+    if args.pipeline:
+        out["mode"] = "pipeline"
+        out["payload_hw"] = [ph, pw]
+        out["bucket_counts"] = {str(k): v for k, v in
+                                sorted(batcher.bucket_counts.items())}
+    else:
+        served = batcher.batch_sizes_served[n0:]
+        hist = {}
+        for b in served:
+            hist[str(b)] = hist.get(str(b), 0) + 1
+        out["mean_batch"] = round(sum(served) / max(1, len(served)), 2)
+        out["batch_hist"] = hist
+    print(json.dumps(out))
     server.shutdown()
     batcher.close()
     server.server_close()

@@ -160,3 +160,39 @@ def test_bench_probe_backend_cpu(monkeypatch):
     import bench
 
     assert bench._probe_backend(timeout_s=180) is True
+
+
+def test_bench_retry_once_semantics():
+    """_retry_once protects the round-end artifact from one-off tunnel
+    RPC errors: exactly one retry for transient failures, none for OOMs
+    (deterministic + expensive recompiles), second failure propagates."""
+    import bench
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("socket closed mid-flight")
+        return 42.0
+
+    assert bench._retry_once(flaky, "t") == 42.0
+    assert calls["n"] == 2
+
+    oom_calls = {"n": 0}
+
+    def oom():
+        oom_calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating")
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        bench._retry_once(oom, "t")
+    assert oom_calls["n"] == 1  # not retried
+
+    def always_bad():
+        raise ValueError("transient-looking but persistent")
+
+    with pytest.raises(ValueError):
+        bench._retry_once(always_bad, "t")
