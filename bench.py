@@ -1,7 +1,14 @@
 """Headline benchmark: MI-GAN-512 batched inference throughput per chip.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+progressively: the headline line is emitted the moment the 512 sweep
+finishes, then RE-emitted (enriched) after every optional section, so the
+LAST complete JSON line on stdout is always the fullest record and a kill
+at any point after the sweep still leaves a parseable artifact. Sections
+are skipped once the MIGAN_BENCH_BUDGET wall-clock budget (default 1500 s,
+measured from process start incl. the backend probe) can no longer cover
+their cost estimate; the run then exits 0.
 
 Baseline (BASELINE.json north star): >= 2000 images/sec on a v5e-8 slice,
 i.e. 250 images/sec/chip. The model forward is the pure generator
@@ -17,6 +24,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PER_CHIP = 2000.0 / 8.0  # north-star 2000 img/s on v5e-8
+
+# Wall-clock budget for the WHOLE run (probe + compiles + measurements).
+# The driver kills bench.py at an unknown window (round 3's artifact died
+# rc=124 mid-run and the official perf record was lost); sections are
+# skipped once the remaining budget drops below their cost estimate, and
+# the headline JSON line is emitted the moment it exists — so a kill at
+# any later point still leaves a parseable artifact on stdout.
+_BUDGET_S = float(os.environ.get("MIGAN_BENCH_BUDGET", 1500.0))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
 
 
 def _bf16_params(params):
@@ -51,7 +71,12 @@ def _retry_once(fn, label):
         return fn()
 
 
-def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
+def bench_migan512(batch_sizes=(128, 64, 32, 16), warmup=3, iters=10,
+                   on_result=None):
+    """Sweeps LARGEST batch first (the known-best config, BENCH_r02): if
+    the budget dies mid-sweep, the number already emitted via `on_result`
+    is the headline one. Remaining batch sizes are skipped once under
+    60 s of budget remains and at least one measurement exists."""
     import jax
     import jax.numpy as jnp
     from migan_tpu.models.migan_inference import (
@@ -94,6 +119,10 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
     best = 0.0
     best_bs = None
     for bs in batch_sizes:
+        if best > 0 and _remaining() < 60:
+            print(f"# sweep truncated before batch {bs}: "
+                  f"{_remaining():.0f}s left", file=sys.stderr)
+            break
         try:
             ips = _retry_once(lambda: measure(bs), f"batch {bs}")
         except Exception as e:  # OOM at large batch etc.
@@ -102,6 +131,8 @@ def bench_migan512(batch_sizes=(16, 32, 64, 128), warmup=3, iters=10):
         print(f"# batch {bs}: {ips:.1f} img/s", file=sys.stderr)
         if ips > best:
             best, best_bs = ips, bs
+            if on_result is not None:
+                on_result(best, best_bs)
     return best, best_bs
 
 
@@ -450,6 +481,87 @@ def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8,
     return best
 
 
+def bench_vpu_floor(warmup=2, iters=10):
+    """Microbenchmark pinning the 'VPU floor' claim (VERDICT r3 Weak #2).
+
+    Isolates the canonical hot chain — depthwise3x3 + lrelu_agc +
+    pointwise 1x1 + lrelu_agc (ops/pallas/sepconv.fused_block) — at the
+    migan-512 top-stage shape (batch 128 folded to [64, 512, 512, 128]
+    bf16, the dominant tensor of the benched chain) and compares it to:
+
+      * an XLA elementwise round-trip of the same in+out bytes (the HBM
+        floor: what a pure-bandwidth kernel would cost), and
+      * the unfused XLA composition of the same math.
+
+    kernel_ms / hbm_copy_ms > 1 quantifies how far ABOVE the memory floor
+    the stencil+activation VPU work puts the kernel — i.e. whether time
+    is still recoverable by cutting bytes (ratio ~ 1) or only by cutting
+    VPU work (ratio >> 1). The reference's equivalent hot path is the
+    CUDA upfirdn2d/conv stack (torch_utils/ops/upfirdn2d.cu:29-92)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from migan_tpu.ops import conv2d
+    from migan_tpu.ops.pallas.sepconv import fused_block
+
+    # Nf=16 (a quarter of the benched fold) keeps the three programs +
+    # intermediates within HBM next to whatever the earlier sections left
+    # cached; per-row cost is batch-invariant at these sizes, so the
+    # ratios are the full-batch ones.
+    Nf, H, W, C = 16, 512, 512, 128
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (Nf, H, W, C), jnp.bfloat16)
+    wdw = (jax.random.normal(key, (3, 3, 1, C), jnp.float32) * 0.1
+           ).astype(jnp.bfloat16)
+    bdw = jnp.zeros((C,), jnp.bfloat16)
+    wpw = (jax.random.normal(key, (C, C), jnp.float32) * 0.05
+           ).astype(jnp.bfloat16)
+
+    fused = jax.jit(lambda x: fused_block(x, wdw, bdw, wpw))
+
+    def xla_chain(x):
+        from migan_tpu.models.migan_inference import ACT
+        t = conv2d(x, wdw, padding=1, groups=C)
+        t = ACT(t + bdw.astype(t.dtype))
+        return ACT(conv2d(t, wpw[None, None]))
+
+    unfused = jax.jit(xla_chain)
+    copy = jax.jit(lambda x: x * jnp.bfloat16(1.0009765625))
+
+    @jax.jit
+    def checksum(y):
+        return jnp.sum(y.astype(jnp.float32))
+
+    def ms(fn):
+        for _ in range(warmup):
+            float(np.asarray(checksum(fn(x))))
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(iters):
+            y = fn(x)
+        float(np.asarray(checksum(y)))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    k_ms = ms(fused)
+    c_ms = ms(copy)
+    u_ms = ms(unfused)
+    gbytes = 2 * x.size * x.dtype.itemsize / 1e9
+    del x  # free the working set before the next section
+
+    return {
+        "shape": [Nf, H, W, C],
+        "fused_kernel_ms": round(k_ms, 2),
+        "hbm_roundtrip_ms": round(c_ms, 2),
+        "xla_unfused_ms": round(u_ms, 2),
+        "vpu_over_hbm_ratio": round(k_ms / c_ms, 2),
+        "achieved_gbps_fused": round(gbytes / (k_ms / 1e3), 1),
+        "note": ("fused_kernel_ms/hbm_roundtrip_ms ~1 => bytes-bound "
+                 "(fusion exhausted, HBM is the wall); >>1 => VPU "
+                 "issue-rate bound (only removing stencil/act work "
+                 "helps)."),
+    }
+
+
 def _probe_backend(timeout_s: int = 900) -> bool:
     """Fail fast when the remote TPU tunnel is down: backend init hangs
     indefinitely in-process (observed), so probe it in a bounded
@@ -471,12 +583,23 @@ def _probe_backend(timeout_s: int = 900) -> bool:
         return False
 
 
+def _release_device_memory():
+    """Drop dead device buffers between sections: a failed (OOM) section's
+    tracebacks/jit caches can pin multi-GB arrays and poison every later
+    section (observed: one oversized microbench cascaded RESOURCE_EXHAUSTED
+    through the rest of the run)."""
+    import gc
+
+    gc.collect()
+
+
 def main():
-    # Persistent XLA compilation cache: the 5 bench sections carry 20-40 s
+    # Persistent XLA compilation cache: the bench sections carry 20-40 s
     # first-compiles each; cached re-runs spend their budget measuring.
     from migan_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
-    if not _probe_backend():
+    # probe timeout must leave budget for at least one real measurement
+    if not _probe_backend(timeout_s=min(900, max(60, _remaining() - 180))):
         print(json.dumps({
             "metric": "migan512_inference_throughput",
             "value": 0.0,
@@ -485,86 +608,107 @@ def main():
             "error": "TPU backend unreachable (device init timed out; "
                      "known-good 715 img/s as of 2026-08-17, see "
                      "ROADMAP.md)",
-        }))
+        }), flush=True)
         sys.exit(1)
-    value, bs = bench_migan512()
-    extra = {}
-    try:
-        extra["roofline"] = roofline_migan512(value, bs)
-    except Exception as e:  # pragma: no cover
-        print(f"# roofline failed: {type(e).__name__}: {e}", file=sys.stderr)
-    try:
-        extra["p50_latency_ms"] = round(
-            _retry_once(bench_latency_p50, "p50 latency"), 2)
-        extra["p50_note"] = (
+
+    result = {
+        "metric": "migan512_inference_throughput",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "batch_size": None,
+    }
+
+    # Emit the headline after EVERY improving batch-size measurement and
+    # re-emit after every later section: a driver kill at any point after
+    # the first measurement still finds a complete JSON line on stdout
+    # (round 3's artifact was lost to exactly this, rc=124 mid-sweep).
+    def _headline(ips, bsz):
+        result["value"] = round(ips, 2)
+        result["vs_baseline"] = round(ips / BASELINE_PER_CHIP, 3)
+        result["batch_size"] = bsz
+        print(json.dumps(result), flush=True)
+
+    value, bs = bench_migan512(on_result=_headline)
+    if result["batch_size"] is None:
+        _headline(value, bs)
+
+    def section(key, est_cost_s, fn, stderr_name=None):
+        """Run one optional section under the wall-clock budget; merge its
+        value under `key` and re-emit the full (progressively enriched)
+        JSON line. Estimated costs include first-compile; a cached re-run
+        finishes faster, so estimates only ever *under*-skip."""
+        name = stderr_name or key
+        rem = _remaining()
+        if rem < est_cost_s:
+            print(f"# skip {name}: {rem:.0f}s left < est {est_cost_s}s",
+                  file=sys.stderr)
+            return
+        t0 = time.perf_counter()
+        try:
+            result[key] = fn()
+        except Exception as e:
+            print(f"# {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            _release_device_memory()
+            return
+        print(f"# {name}: {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+        print(json.dumps(result), flush=True)
+
+    section("roofline", 120, lambda: roofline_migan512(value, bs))
+
+    def p50():
+        result["p50_note"] = (
             "bs=1 latency is dominated by the dev harness's remote-PJRT "
             "tunnel RPC (~25 ms RTT); device compute implied by batched "
             "throughput is ~1.4 ms/img. On a locally-attached TPU the p50 "
             "is the device number (ROADMAP.md #7).")
-    except Exception as e:  # pragma: no cover
-        print(f"# latency bench failed: {type(e).__name__}", file=sys.stderr)
-    try:
-        extra["migan256_imgs_per_sec"] = round(bench_migan256(), 2)
-    except Exception as e:  # pragma: no cover
-        print(f"# 256 bench failed: {type(e).__name__}", file=sys.stderr)
-    try:
-        extra["eval_imgs_per_sec"] = round(bench_eval_step(), 2)
-    except Exception as e:  # pragma: no cover
-        print(f"# eval bench failed: {type(e).__name__}", file=sys.stderr)
-    try:
-        # bf16 detector conv stacks (--detector-dtype bfloat16); FID/LPIPS
-        # deltas bounded in test_detector_bf16_tolerance. Measured +5%
-        # end-to-end (541.7 vs 516.3) — detectors are a minority of
-        # pipeline time at bs=128.
-        extra["eval_imgs_per_sec_bf16_detectors"] = round(
-            bench_eval_step(detector_dtype="bfloat16"), 2)
-    except Exception as e:  # pragma: no cover
-        print(f"# eval-bf16 bench failed: {type(e).__name__}",
-              file=sys.stderr)
-    try:
-        # GAN-only step (the reference's KD-off ablation workload).
-        ips, rl = bench_train_step()
-        extra["train_imgs_per_sec"] = round(ips, 2)
-        if rl:
-            extra["train_roofline"] = rl
-    except Exception as e:  # pragma: no cover
-        print(f"# train bench failed: {type(e).__name__}", file=sys.stderr)
-    try:
-        # The reference FLAGSHIP workload: every Gmain step pays the
-        # 79M-param Co-Mod-GAN teacher forward (use_image_level_kd: True,
-        # configs/experiment/migan_places256.yaml:34-38).
-        ips, rl = bench_train_step(kd=True)
-        extra["train_imgs_per_sec_kd"] = round(ips, 2)
-        if rl:
-            extra["train_kd_roofline"] = rl
-    except Exception as e:  # pragma: no cover
-        print(f"# train-kd bench failed: {type(e).__name__}", file=sys.stderr)
-    try:
-        # 512 finetune config (reference migan_places512.yaml, 25,000 kimg
-        # schedule). Standard path: batch-folding the training nets' top
-        # stage (ch(512)=64, half a lane) was measured 1.85x SLOWER (16.5
-        # vs 30.5 img/s, bs=8 bf16) — the tile/block-diag weight expansion
-        # runs inside the differentiated graph every step, unlike inference
-        # where the folded weights are precomputed once — so it was retired
-        # (ROADMAP.md #3).
-        ips, _ = bench_train_step(res=512, bs=8, roofline=False)
-        extra["train512_imgs_per_sec"] = round(ips, 2)
-    except Exception as e:  # pragma: no cover
-        print(f"# train512 bench failed: {type(e).__name__}", file=sys.stderr)
-    try:
-        ips, _ = bench_train_step(res=512, bs=8, kd=True, roofline=False)
-        extra["train512_imgs_per_sec_kd"] = round(ips, 2)
-    except Exception as e:  # pragma: no cover
-        print(f"# train512-kd bench failed: {type(e).__name__}",
-              file=sys.stderr)
-    print(json.dumps({
-        "metric": "migan512_inference_throughput",
-        "value": round(value, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / BASELINE_PER_CHIP, 3),
-        "batch_size": bs,
-        **extra,
-    }))
+        return round(_retry_once(bench_latency_p50, "p50 latency"), 2)
+
+    section("p50_latency_ms", 90, p50)
+    section("migan256_imgs_per_sec", 120,
+            lambda: round(bench_migan256(), 2))
+    # the VPU-floor microbench that makes the 'at the floor' roofline
+    # claim checkable (VERDICT r3 Weak #2 / Next #5)
+    section("vpu_floor", 120, bench_vpu_floor)
+    section("eval_imgs_per_sec", 200, lambda: round(bench_eval_step(), 2))
+    # bf16 detector conv stacks (--detector-dtype bfloat16); FID/LPIPS
+    # deltas bounded in test_detector_bf16_tolerance. Measured +5%
+    # end-to-end (541.7 vs 516.3) — detectors are a minority of
+    # pipeline time at bs=128.
+    section("eval_imgs_per_sec_bf16_detectors", 150,
+            lambda: round(bench_eval_step(detector_dtype="bfloat16"), 2))
+
+    def train(res=256, bs_=32, kd=False, roofline=True, rl_key=None):
+        def run():
+            ips, rl = bench_train_step(res=res, bs=bs_, kd=kd,
+                                       roofline=roofline)
+            if rl and rl_key:
+                result[rl_key] = rl
+            return round(ips, 2)
+        return run
+
+    # GAN-only step (the reference's KD-off ablation workload).
+    section("train_imgs_per_sec", 240, train(rl_key="train_roofline"))
+    # The reference FLAGSHIP workload: every Gmain step pays the
+    # 79M-param Co-Mod-GAN teacher forward (use_image_level_kd: True,
+    # configs/experiment/migan_places256.yaml:34-38).
+    section("train_imgs_per_sec_kd", 240,
+            train(kd=True, rl_key="train_kd_roofline"))
+    # 512 finetune config (reference migan_places512.yaml, 25,000 kimg
+    # schedule). Standard path: batch-folding the training nets' top
+    # stage (ch(512)=64, half a lane) was measured 1.85x SLOWER (16.5
+    # vs 30.5 img/s, bs=8 bf16) — the tile/block-diag weight expansion
+    # runs inside the differentiated graph every step, unlike inference
+    # where the folded weights are precomputed once — so it was retired
+    # (ROADMAP.md #3).
+    section("train512_imgs_per_sec", 200,
+            train(res=512, bs_=8, roofline=False))
+    section("train512_imgs_per_sec_kd", 200,
+            train(res=512, bs_=8, kd=True, roofline=False))
+    result["bench_elapsed_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

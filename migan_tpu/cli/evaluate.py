@@ -60,9 +60,15 @@ def get_args(argv=None):
 
 
 class InferenceDataset:
-    """reference evaluate_fid_lpips.py:124-165 (NHWC)."""
+    """reference evaluate_fid_lpips.py:124-165 (NHWC).
+
+    On-the-fly masks draw from `rng` when the DataLoader passes a
+    per-item one (num_workers > 1: deterministic at any worker count),
+    and from the seed-0 global np.random stream otherwise (num_workers=1:
+    bit-exact reference protocol, evaluate_fid_lpips.py:180-181)."""
 
     IMG_EXT = {".jpg", ".jpeg", ".JPG", ".JPEG", ".png", ".PNG"}
+    supports_rng = True
 
     def __init__(self, real_dir: Path, mask_dir=None, resolution=None):
         self.img_paths = [p for p in Path(real_dir).iterdir()
@@ -73,7 +79,7 @@ class InferenceDataset:
     def __len__(self):
         return len(self.img_paths)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, rng=None):
         from PIL import Image
 
         img_path = self.img_paths[index]
@@ -86,8 +92,9 @@ class InferenceDataset:
             mask = mask.convert("L").resize(
                 (self.resolution, self.resolution), Image.NEAREST)
         else:
-            mask = Image.fromarray(
-                random_mask_uint8(self.resolution)).convert("L")
+            mask = Image.fromarray(random_mask_uint8(
+                self.resolution, rng=np.random if rng is None else rng
+            )).convert("L")
         img_np = np.asarray(img, np.float32) * 2 / 255 - 1
         mask_np = (np.asarray(mask)[:, :, None] // 255).astype(np.float32)
         x = np.concatenate([mask_np - 0.5, img_np * mask_np], axis=-1)
@@ -167,9 +174,15 @@ def main(argv=None):
                                extend=True).epoch_indices(0)
     else:
         indices = range(n)
+    # num_workers=1 keeps on-the-fly masks on the sequential seed-0
+    # global stream (bit-exact reference protocol); more workers switch
+    # to per-item seeded RNG — still fully deterministic, but a different
+    # (worker-count-independent) stream. Pre-generated --mask-dir is
+    # identical under both.
     dl = DataLoader(ds, batch_size=args.batch_size,
                     indices=indices, num_workers=args.num_workers,
-                    drop_last=False)
+                    drop_last=False,
+                    seed=0 if args.num_workers > 1 else None)
 
     # Data-parallel sharding: batches split over the per-process device
     # mesh; the jitted model/detector partition automatically (replaces the

@@ -141,9 +141,9 @@ class ImageOnlyFormatter:
     def __init__(self, random_flip=False):
         self.random_flip = random_flip
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = element["image"] * 2 - 1
-        if self.random_flip and np.random.rand() < 0.5:
+        if self.random_flip and rng.rand() < 0.5:
             x = x[:, ::-1].copy()
         return x.astype(np.float32), element["unique_id"]
 
@@ -162,14 +162,14 @@ class RandomMaskFormatter:
         self.hole_range = tuple(hole_range)
         self.mask_backend = mask_backend
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = element["image"] * 2 - 1
-        if self.random_flip and np.random.rand() < 0.5:
+        if self.random_flip and rng.rand() < 0.5:
             x = x[:, ::-1].copy()
         if self.mask_backend == "native":
             from .fast_masks import fast_random_mask
 
-            mask = fast_random_mask(x.shape[0], self.hole_range)
+            mask = fast_random_mask(x.shape[0], self.hole_range, rng=rng)
         else:
-            mask = RandomMask(x.shape[0], self.hole_range)
+            mask = RandomMask(x.shape[0], self.hole_range, rng=rng)
         return x.astype(np.float32), mask, element["unique_id"]

@@ -89,9 +89,9 @@ class DefaultFormatter:
     def __init__(self, resolution=512):
         self.resolution = resolution
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = (element["image"] - 0.5) * 2
-        mask = RandomMask(self.resolution)
+        mask = RandomMask(self.resolution, rng=rng)
         return x, mask, element["unique_id"]
 
 
@@ -99,10 +99,10 @@ class DefaultFormatter:
 class CenterMaskFormatter:
     """reference ds_places2.py:109-124."""
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = (element["image"] - 0.5) * 2
         h, w = x.shape[:2]
-        latent = np.random.randn(512).astype(np.float32)
+        latent = rng.randn(512).astype(np.float32)
         mask = np.ones([h, w], np.float32)
         mask[h // 4:(h // 4 + h // 2), w // 4:(w // 4 + w // 2)] = 0
         return x, latent, mask, element["unique_id"]
@@ -112,9 +112,9 @@ class CenterMaskFormatter:
 class FixedMaskFormatter:
     """reference ds_places2.py:131-148."""
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = (element["image"] - 0.5) * 2
-        latent = np.random.randn(512).astype(np.float32)
+        latent = rng.randn(512).astype(np.float32)
         mpath = element["image_path"].replace("image/", "mask/").replace(
             ".png", "_mask.png")
         mask = (np.array(PIL.Image.open(mpath)) > 128).astype(np.float32)
@@ -137,19 +137,19 @@ class AdvInpaintingFormatter:
         self.resolution = resolution
         self.hole_range = tuple(hole_range)
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = (element["image"] - 0.5) * 2
         oh, ow = x.shape[:2]
         s = self.resolution
-        nh = np.random.randint(s, max(oh, int(s * 1.2)) + 1)
-        nw = np.random.randint(s, max(ow, int(s * 1.2)) + 1)
-        ch = np.random.randint(0, nh - s + 1)
-        cw = np.random.randint(0, nw - s + 1)
+        nh = rng.randint(s, max(oh, int(s * 1.2)) + 1)
+        nw = rng.randint(s, max(ow, int(s * 1.2)) + 1)
+        ch = rng.randint(0, nh - s + 1)
+        cw = rng.randint(0, nw - s + 1)
         import cv2
 
         x = cv2.resize(x, dsize=(nw, nh), interpolation=cv2.INTER_CUBIC)
         x = x[ch:ch + s, cw:cw + s]
-        mask = RandomMask(s, self.hole_range)
+        mask = RandomMask(s, self.hole_range, rng=rng)
         return x, mask, element["unique_id"]
 
 
@@ -162,9 +162,13 @@ class FreeFormMaskFormatter:
     mask_backend: 'pil' (default) is the reference's bit-exact generator;
     'native' rasterizes the same algorithm in C++ (data/fast_masks.py,
     ~10x faster — keeps host mask synthesis ahead of the device pipeline)
-    and falls back to PIL when no toolchain is available. Both consume one
-    draw from the global numpy RNG per mask, so seeded runs stay
-    deterministic under either backend.
+    and falls back to PIL when no toolchain is available.
+
+    Determinism: flips and masks draw from `rng`. When the DataLoader's
+    `seed` is set it passes a per-item RandomState here, so runs are
+    bit-reproducible at ANY num_workers. With the default global
+    np.random, draws interleave across loader threads — deterministic
+    only at num_workers=1 (the reference's single-process stream).
     """
 
     def __init__(self, random_flip=True, resolution=512, hole_range=(0, 1),
@@ -174,17 +178,17 @@ class FreeFormMaskFormatter:
         self.hole_range = tuple(hole_range)
         self.mask_backend = mask_backend
 
-    def __call__(self, element):
+    def __call__(self, element, rng=np.random):
         x = element["image"] * 2 - 1
         s = self.resolution
         if x.shape[:2] != (s, s):
             x = _bicubic_resize(x, s)
-        if self.random_flip and np.random.rand() < 0.5:
+        if self.random_flip and rng.rand() < 0.5:
             x = x[:, ::-1].copy()
         if self.mask_backend == "native":
             from .fast_masks import fast_random_mask
 
-            mask = fast_random_mask(s, self.hole_range)
+            mask = fast_random_mask(s, self.hole_range, rng=rng)
         else:
-            mask = RandomMask(s, self.hole_range)
+            mask = RandomMask(s, self.hole_range, rng=rng)
         return x.astype(np.float32), mask, element["unique_id"]

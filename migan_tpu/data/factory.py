@@ -71,14 +71,21 @@ class ds_base:
     def init_load_info(self, cfg):
         raise NotImplementedError
 
+    # formatters accept an explicit per-item RNG (DataLoader seed mode):
+    # mask synthesis / flips / crops become deterministic under any
+    # worker count instead of racing on the global np.random stream
+    supports_rng = True
+
     def __len__(self):
         return len(self.load_info)
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, rng=None):
         element = dict(self.load_info[idx])
         for loader in self.loaders:
             loader(element)
         if self.formatter is not None:
+            if rng is not None:
+                return self.formatter(element, rng=rng)
             return self.formatter(element)
         return element
 

@@ -100,12 +100,15 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 
 
 def fast_random_mask(s: int, hole_range=(0.0, 1.0),
-                     seed: Optional[int] = None) -> np.ndarray:
+                     seed: Optional[int] = None,
+                     rng=np.random) -> np.ndarray:
     """float32 [s, s] mask, 1 = known, 0 = hole (native path; PIL
-    fallback)."""
+    fallback). Without an explicit seed, one is drawn from `rng` —
+    pass the DataLoader's per-item RandomState for worker-count-
+    independent determinism."""
     lib = _build_lib()
     if seed is None:
-        seed = np.random.randint(0, 2 ** 63 - 1)
+        seed = rng.randint(0, 2 ** 63 - 1)
     if lib is not None:
         out = np.empty((s, s), np.uint8)
         ratio = lib.generate_mask(

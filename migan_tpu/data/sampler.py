@@ -71,30 +71,61 @@ class InfiniteSampler:
             epoch += 1
 
 
+def _item_rng(seed: int, position: int) -> np.ndarray:
+    """Per-item RandomState derived from (loader seed, global item
+    position) — bit-reproducible regardless of worker count or thread
+    scheduling. The reference relied on torch DataLoader's per-worker
+    process seeding for the same property (its streams depended on
+    num_workers; these don't even do that)."""
+    return np.random.RandomState(
+        np.array([seed, position], np.uint64).view(np.uint32))
+
+
 class DataLoader:
-    """Threaded prefetching batch loader over (dataset, indices)."""
+    """Threaded prefetching batch loader over (dataset, indices).
+
+    seed: when set (and the dataset advertises ``supports_rng``), each
+    item is materialized with its own RandomState derived from
+    (seed, global item position), so any RNG the dataset's formatters
+    consume (mask synthesis, random flips, crops) is deterministic and
+    independent of num_workers. When None (default), formatters fall back
+    to the global ``np.random`` stream — the reference's single-process
+    semantics, deterministic only at num_workers=1.
+    """
 
     def __init__(self, dataset, batch_size: int, indices=None,
                  num_workers: int = 4, prefetch: int = 4,
-                 drop_last: bool = True):
+                 drop_last: bool = True, seed=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices = indices
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.seed = (seed if seed is None or
+                     getattr(dataset, "supports_rng", False) else None)
+        if seed is not None and self.seed is None:
+            raise ValueError(
+                f"seed given but {type(dataset).__name__} does not "
+                "support per-item RNG (set supports_rng = True and "
+                "accept __getitem__(idx, rng=...))")
 
     def _index_batches(self):
+        """Yields (start_position, [dataset indices]); start_position is
+        the batch's offset in the global item stream (the per-item RNG
+        key when `seed` is set)."""
         it = iter(self.indices if self.indices is not None
                   else range(len(self.dataset)))
         batch: List[int] = []
+        pos = 0
         for idx in it:
             batch.append(idx)
             if len(batch) == self.batch_size:
-                yield batch
+                yield pos, batch
+                pos += len(batch)
                 batch = []
         if batch and not self.drop_last:
-            yield batch
+            yield pos, batch
 
     def __iter__(self):
         """Yields batches in deterministic index order regardless of worker
@@ -118,8 +149,13 @@ class DataLoader:
                 if job is None:
                     q.put(None)
                     return
-                seq, idxs = job
-                items = [self.dataset[i] for i in idxs]
+                seq, (pos, idxs) = job
+                if self.seed is None:
+                    items = [self.dataset[i] for i in idxs]
+                else:
+                    items = [self.dataset.__getitem__(
+                        i, rng=_item_rng(self.seed, pos + j))
+                        for j, i in enumerate(idxs)]
                 q.put((seq, collate(items)))
 
         threads = [threading.Thread(target=worker, daemon=True)

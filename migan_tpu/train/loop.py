@@ -222,8 +222,13 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     local_bs = batch_size // n_proc
     sampler = InfiniteSampler(len(trainset), num_shards=n_proc, shard=proc,
                               seed=seed)
+    # seed=: per-item mask/flip RNG derived from (seed, item position) —
+    # bit-reproducible at any dataset_num_workers (the reference's torch
+    # DataLoader per-worker seeding gave determinism only per worker
+    # count; the global-np.random fallback here isn't even that)
     loader = DataLoader(trainset, local_bs, indices=iter(sampler),
-                        num_workers=cfgt.get("dataset_num_workers") or 4)
+                        num_workers=cfgt.get("dataset_num_workers") or 4,
+                        seed=seed)
 
     # ----- models ----------------------------------------------------------
     g_handle = get_model()(cfg["model_g"])
