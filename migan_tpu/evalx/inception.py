@@ -160,6 +160,33 @@ def _inception_e(x, p, pool: str):
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+def tf_resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """TF1 legacy ``tf.image.resize_bilinear(align_corners=False)``:
+    src = dst * (in/out), NO half-pixel offset, border-clamped — the
+    resize baked into the NVIDIA TorchScript Inception via its
+    affine_grid/grid_sample trick (theta[·,2] += 1/in - 1/299 under
+    align_corners=False reduces to exactly src = dst*scale).
+    Separable gather+lerp, NHWC."""
+    def axis_weights(in_size, out_size):
+        src = jnp.arange(out_size, dtype=jnp.float32) * (in_size / out_size)
+        i0 = jnp.floor(src).astype(jnp.int32)
+        frac = src - i0
+        i0 = jnp.clip(i0, 0, in_size - 1)
+        i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+        return i0, i1, frac
+
+    n, h, w, c = x.shape
+    if h != out_h:
+        i0, i1, f = axis_weights(h, out_h)
+        f = f[None, :, None, None]
+        x = jnp.take(x, i0, axis=1) * (1 - f) + jnp.take(x, i1, axis=1) * f
+    if w != out_w:
+        j0, j1, f = axis_weights(w, out_w)
+        f = f[None, None, :, None]
+        x = jnp.take(x, j0, axis=2) * (1 - f) + jnp.take(x, j1, axis=2) * f
+    return x
+
+
 def inception_apply(params: Params, x: jnp.ndarray, *,
                     resize_input: bool = True,
                     normalize_input: bool = True,
@@ -177,7 +204,33 @@ def inception_apply(params: Params, x: jnp.ndarray, *,
         x = 2.0 * x - 1.0
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+    return _backbone(params, x)
 
+
+def inception_apply_nvidia(params: Params, x: jnp.ndarray, *,
+                           compute_dtype=None) -> jnp.ndarray:
+    """The reference's TRAINING-TIME FID detector contract (SURVEY §3.3
+    second flavor; reference frechet_inception_distance.py:25-26 loads the
+    NVIDIA TorchScript translation of the TF inception-2015-12-05 graph,
+    metric_utils.py:40-51 feeds it raw uint8):
+
+      x: NHWC float/uint8 in [0, 255]  ->  [N, 2048] pool features
+
+    Preprocessing matches the TorchScript forward: TF-legacy bilinear
+    resize to 299 (NOT half-pixel; see tf_resize_bilinear) then
+    (x - 128) / 128. The backbone is the SAME graph as the pytorch_fid
+    flavor (pytorch_fid's FIDInception* classes are themselves a port of
+    this TF graph), so the two flavors share `_backbone` and differ only
+    in preprocessing + weight naming (import_inception_tf_names)."""
+    x = x.astype(jnp.float32)
+    x = tf_resize_bilinear(x, 299, 299)
+    x = (x - 128.0) / 128.0
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    return _backbone(params, x)
+
+
+def _backbone(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     x = _conv(x, params["Conv2d_1a_3x3"], stride=(2, 2))
     x = _conv(x, params["Conv2d_2a_3x3"])
     x = _conv(x, params["Conv2d_2b_3x3"], padding=(1, 1))
@@ -242,6 +295,216 @@ def import_inception_state_dict(sd: Mapping[str, np.ndarray]) -> Params:
             "bias": jnp.asarray(bias.astype(np.float32)),
         }
     return params
+
+
+# TF-graph unit name -> (our tree path, expected (kh, kw)). The NVIDIA
+# TorchScript detector is a direct translation of the TF
+# inception-2015-12-05 GraphDef and keeps its tower naming; this table is
+# the correspondence to the torchvision-style names used by _backbone.
+# Kernel shapes are asserted at import so a wrong orientation in this
+# table fails loudly on real weights instead of silently transposing.
+_TF_STEM = {
+    "conv": ("Conv2d_1a_3x3", (3, 3)),
+    "conv_1": ("Conv2d_2a_3x3", (3, 3)),
+    "conv_2": ("Conv2d_2b_3x3", (3, 3)),
+    "conv_3": ("Conv2d_3b_1x1", (1, 1)),
+    "conv_4": ("Conv2d_4a_3x3", (3, 3)),
+}
+
+_TF_MIXED_NAMES = {
+    "mixed": "Mixed_5b", "mixed_1": "Mixed_5c", "mixed_2": "Mixed_5d",
+    "mixed_3": "Mixed_6a", "mixed_4": "Mixed_6b", "mixed_5": "Mixed_6c",
+    "mixed_6": "Mixed_6d", "mixed_7": "Mixed_6e", "mixed_8": "Mixed_7a",
+    "mixed_9": "Mixed_7b", "mixed_10": "Mixed_7c",
+}
+
+_TF_BRANCHES = {
+    "A": {
+        "conv": ("branch1x1", (1, 1)),
+        "tower.conv": ("branch5x5_1", (1, 1)),
+        "tower.conv_1": ("branch5x5_2", (5, 5)),
+        "tower_1.conv": ("branch3x3dbl_1", (1, 1)),
+        "tower_1.conv_1": ("branch3x3dbl_2", (3, 3)),
+        "tower_1.conv_2": ("branch3x3dbl_3", (3, 3)),
+        "tower_2.conv": ("branch_pool", (1, 1)),
+    },
+    "B": {
+        "conv": ("branch3x3", (3, 3)),
+        "tower.conv": ("branch3x3dbl_1", (1, 1)),
+        "tower.conv_1": ("branch3x3dbl_2", (3, 3)),
+        "tower.conv_2": ("branch3x3dbl_3", (3, 3)),
+    },
+    "C": {
+        "conv": ("branch1x1", (1, 1)),
+        "tower.conv": ("branch7x7_1", (1, 1)),
+        "tower.conv_1": ("branch7x7_2", (1, 7)),
+        "tower.conv_2": ("branch7x7_3", (7, 1)),
+        "tower_1.conv": ("branch7x7dbl_1", (1, 1)),
+        "tower_1.conv_1": ("branch7x7dbl_2", (7, 1)),
+        "tower_1.conv_2": ("branch7x7dbl_3", (1, 7)),
+        "tower_1.conv_3": ("branch7x7dbl_4", (7, 1)),
+        "tower_1.conv_4": ("branch7x7dbl_5", (1, 7)),
+        "tower_2.conv": ("branch_pool", (1, 1)),
+    },
+    "D": {
+        "tower.conv": ("branch3x3_1", (1, 1)),
+        "tower.conv_1": ("branch3x3_2", (3, 3)),
+        "tower_1.conv": ("branch7x7x3_1", (1, 1)),
+        "tower_1.conv_1": ("branch7x7x3_2", (1, 7)),
+        "tower_1.conv_2": ("branch7x7x3_3", (7, 1)),
+        "tower_1.conv_3": ("branch7x7x3_4", (3, 3)),
+    },
+    "E": {
+        "conv": ("branch1x1", (1, 1)),
+        "tower.conv": ("branch3x3_1", (1, 1)),
+        "tower.mixed.conv": ("branch3x3_2a", (1, 3)),
+        "tower.mixed.conv_1": ("branch3x3_2b", (3, 1)),
+        "tower_1.conv": ("branch3x3dbl_1", (1, 1)),
+        "tower_1.conv_1": ("branch3x3dbl_2", (3, 3)),
+        "tower_1.mixed.conv": ("branch3x3dbl_3a", (1, 3)),
+        "tower_1.mixed.conv_1": ("branch3x3dbl_3b", (3, 1)),
+        "tower_2.conv": ("branch_pool", (1, 1)),
+    },
+}
+
+_TF_BLOCK_KIND = {
+    "mixed": "A", "mixed_1": "A", "mixed_2": "A", "mixed_3": "B",
+    "mixed_4": "C", "mixed_5": "C", "mixed_6": "C", "mixed_7": "C",
+    "mixed_8": "D", "mixed_9": "E", "mixed_10": "E",
+}
+
+
+def import_inception_tf_names(sd: Mapping[str, np.ndarray]) -> Params:
+    """NVIDIA-TorchScript / TF-named state_dict -> folded params for
+    `_backbone` (the training-time FID flavor,
+    reference frechet_inception_distance.py:25-26).
+
+    Accepts keys like 'layers.mixed_4.tower.conv_1.conv.weight' and
+    '...{bn,batchnorm}.{weight,bias,running_mean,running_var}' ('layers.'
+    prefix optional, as is the BN scale — the TF 2015 graph's batchnorm
+    has beta only). The classifier head ('output.*') is ignored: FID uses
+    pool3 features (detector_kwargs return_features=True,
+    reference frechet_inception_distance.py:27-29)."""
+    units: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, val in sd.items():
+        k = key[7:] if key.startswith("layers.") else key
+        if k.startswith("output.") or "num_batches" in k:
+            continue
+        parts = k.split(".")
+        leaf = parts[-1]
+        mod = parts[-2]
+        if mod in ("bn", "batchnorm"):
+            field = "bn." + leaf
+        elif leaf == "weight" and np.ndim(val) == 4:
+            field = "conv.weight"  # '<unit>.conv.weight'
+        else:
+            raise ValueError(f"unrecognized detector key layout: {key!r}")
+        unit = ".".join(parts[:-2])
+        units.setdefault(unit, {})[field] = np.asarray(val)
+
+    def fold(f, want_khkw, where):
+        w = f["conv.weight"]
+        assert tuple(w.shape[2:]) == want_khkw, \
+            f"{where}: kernel {w.shape} != expected {want_khkw}"
+        w = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+        oc = w.shape[-1]
+        gamma = f.get("bn.weight", np.ones((oc,), np.float32))
+        beta = f["bn.bias"]
+        mean, var = f["bn.running_mean"], f["bn.running_var"]
+        scale = gamma / np.sqrt(var + _BN_EPS)
+        bias = beta - mean * scale
+        return {"w": jnp.asarray(w),
+                "scale": jnp.asarray(scale.astype(np.float32)),
+                "bias": jnp.asarray(bias.astype(np.float32))}
+
+    params: Params = {}
+    for tf_name, (ours, khkw) in _TF_STEM.items():
+        params[ours] = fold(units.pop(tf_name), khkw, tf_name)
+    for tf_block, kind in _TF_BLOCK_KIND.items():
+        ours_block = _TF_MIXED_NAMES[tf_block]
+        out: Params = {}
+        for tf_sub, (ours, khkw) in _TF_BRANCHES[kind].items():
+            unit = f"{tf_block}.{tf_sub}"
+            out[ours] = fold(units.pop(unit), khkw, unit)
+        params[ours_block] = out
+    if units:
+        raise ValueError(f"unmapped detector units: {sorted(units)[:8]}")
+    return params
+
+
+def import_inception_torchscript(path: str) -> Params:
+    """Load the NVIDIA TorchScript detector file
+    (inception-2015-12-05.pt, reference metric_utils.py:40-51 cache) and
+    import its weights. torch.jit.load never executes the scripted
+    forward here — only state_dict() is read."""
+    import torch
+
+    mod = torch.jit.load(path, map_location="cpu")
+    sd = {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
+    return import_inception_tf_names(sd)
+
+
+def load_inception_weights(path: str, flavor: str = "auto"):
+    """Load detector weights from disk, auto-detecting which FID flavor the
+    file holds (SURVEY §3.3: the reference uses TWO detectors that give
+    different FID numbers — pytorch_fid's torchvision-named InceptionV3 for
+    standalone eval, NVIDIA's TF-named TorchScript for training-time
+    metrics, reference frechet_inception_distance.py:25-26).
+
+    Returns (params, flavor) with flavor in {"pytorch_fid", "nvidia_tf"}.
+    Detection: TorchScript archives and TF-named state_dicts
+    ('[layers.]mixed_4.tower...') -> nvidia_tf; torchvision names
+    ('Mixed_5b.branch1x1...') -> pytorch_fid."""
+    from ..io.torch_import import load_torch_state_dict
+
+    try:
+        sd = load_torch_state_dict(path)
+    except Exception:
+        import torch
+
+        mod = torch.jit.load(path, map_location="cpu")
+        sd = {k: v.detach().cpu().numpy()
+              for k, v in mod.state_dict().items()}
+    keys = list(sd)
+    has_torchvision = any(k.startswith(("Mixed_", "Conv2d_")) for k in keys)
+    has_tf = any(
+        (k[7:] if k.startswith("layers.") else k).startswith(
+            ("mixed", "conv"))
+        for k in keys if not k.startswith("output."))
+    if has_torchvision == has_tf:
+        raise ValueError(
+            f"cannot detect detector layout of {path} (keys like "
+            f"{keys[:3]})")
+    detected = "nvidia_tf" if has_tf else "pytorch_fid"
+    if flavor == "auto":
+        flavor = detected
+    elif flavor != detected:
+        raise ValueError(f"requested flavor {flavor!r} but {path} holds a "
+                         f"{detected!r}-layout state_dict")
+    if flavor == "nvidia_tf":
+        return import_inception_tf_names(sd), flavor
+    return import_inception_state_dict(sd), flavor
+
+
+def make_detector(params: Params, flavor: str = "pytorch_fid", *,
+                  compute_dtype=None, jit: bool = True):
+    """Build a detector fn matching the metrics-stack contract
+    (evalx.metrics: NHWC float in [0,1] -> [N, 2048] features) for either
+    FID flavor.
+
+    nvidia_tf quantizes to the uint8 grid first — the reference converts
+    composites to uint8 before feeding the TorchScript detector
+    (metric_utils.py:40-51; (img*127.5+128).clamp.to(uint8) on [-1,1] is
+    round-half-up of x01*255) — so numbers match reference training logs."""
+    if flavor == "pytorch_fid":
+        fn = lambda x: inception_apply(params, x, compute_dtype=compute_dtype)
+    elif flavor == "nvidia_tf":
+        fn = lambda x: inception_apply_nvidia(
+            params, jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5),
+            compute_dtype=compute_dtype)
+    else:
+        raise ValueError(f"unknown detector flavor {flavor!r}")
+    return jax.jit(fn) if jit else fn
 
 
 def _unit_init(key, kh, kw, ic, oc):

@@ -231,6 +231,208 @@ def randomize_inception_(model, seed=0):
 
 
 # ---------------------------------------------------------------------------
+# NVIDIA TorchScript Inception (training-time FID flavor)
+# ---------------------------------------------------------------------------
+
+
+def _tf_module(**children):
+    """Bare container registering children under TF tower names."""
+    m = nn.Module()
+    for name, child in children.items():
+        setattr(m, name, child)
+    return m
+
+
+class TorchNVIDIAInception(nn.Module):
+    """Stand-in for NVIDIA's inception-2015-12-05.pt TorchScript detector
+    (the reference's training-time FID detector,
+    lib/evaluator/stylegan_metrics/frechet_inception_distance.py:25-29):
+    the TF-2015 inception graph with its original tower naming
+    (state_dict keys like 'layers.mixed_4.tower.conv_1.conv.weight'),
+    taking raw [0,255] NCHW input, resizing to 299 via the TorchScript's
+    affine_grid/grid_sample trick (which reproduces TF1's legacy
+    resize_bilinear align_corners=False), then (x-128)/128.
+
+    The backbone math is the same graph pytorch_fid ported (its
+    FIDInception* classes), so the blocks reuse this file's FID oracle
+    modules re-hung on a TF-named tree; the JAX side under test
+    (evalx.inception.inception_apply_nvidia + import_inception_tf_names)
+    implements the resize independently (gather+lerp vs grid_sample), so
+    parity also cross-checks the TF-legacy resize arithmetic."""
+
+    def __init__(self):
+        super().__init__()
+
+        def unit(ic, oc, **kw):
+            return BasicConv2d(ic, oc, **kw)
+
+        def block_a(ic, pf):
+            return _tf_module(
+                conv=unit(ic, 64, kernel_size=1),
+                tower=_tf_module(
+                    conv=unit(ic, 48, kernel_size=1),
+                    conv_1=unit(48, 64, kernel_size=5, padding=2)),
+                tower_1=_tf_module(
+                    conv=unit(ic, 64, kernel_size=1),
+                    conv_1=unit(64, 96, kernel_size=3, padding=1),
+                    conv_2=unit(96, 96, kernel_size=3, padding=1)),
+                tower_2=_tf_module(conv=unit(ic, pf, kernel_size=1)))
+
+        def block_b(ic):
+            return _tf_module(
+                conv=unit(ic, 384, kernel_size=3, stride=2),
+                tower=_tf_module(
+                    conv=unit(ic, 64, kernel_size=1),
+                    conv_1=unit(64, 96, kernel_size=3, padding=1),
+                    conv_2=unit(96, 96, kernel_size=3, stride=2)))
+
+        def block_c(ic, c7):
+            return _tf_module(
+                conv=unit(ic, 192, kernel_size=1),
+                tower=_tf_module(
+                    conv=unit(ic, c7, kernel_size=1),
+                    conv_1=unit(c7, c7, kernel_size=(1, 7), padding=(0, 3)),
+                    conv_2=unit(c7, 192, kernel_size=(7, 1), padding=(3, 0))),
+                tower_1=_tf_module(
+                    conv=unit(ic, c7, kernel_size=1),
+                    conv_1=unit(c7, c7, kernel_size=(7, 1), padding=(3, 0)),
+                    conv_2=unit(c7, c7, kernel_size=(1, 7), padding=(0, 3)),
+                    conv_3=unit(c7, c7, kernel_size=(7, 1), padding=(3, 0)),
+                    conv_4=unit(c7, 192, kernel_size=(1, 7), padding=(0, 3))),
+                tower_2=_tf_module(conv=unit(ic, 192, kernel_size=1)))
+
+        def block_d(ic):
+            return _tf_module(
+                tower=_tf_module(
+                    conv=unit(ic, 192, kernel_size=1),
+                    conv_1=unit(192, 320, kernel_size=3, stride=2)),
+                tower_1=_tf_module(
+                    conv=unit(ic, 192, kernel_size=1),
+                    conv_1=unit(192, 192, kernel_size=(1, 7), padding=(0, 3)),
+                    conv_2=unit(192, 192, kernel_size=(7, 1), padding=(3, 0)),
+                    conv_3=unit(192, 192, kernel_size=3, stride=2)))
+
+        def block_e(ic):
+            return _tf_module(
+                conv=unit(ic, 320, kernel_size=1),
+                tower=_tf_module(
+                    conv=unit(ic, 384, kernel_size=1),
+                    mixed=_tf_module(
+                        conv=unit(384, 384, kernel_size=(1, 3),
+                                  padding=(0, 1)),
+                        conv_1=unit(384, 384, kernel_size=(3, 1),
+                                    padding=(1, 0)))),
+                tower_1=_tf_module(
+                    conv=unit(ic, 448, kernel_size=1),
+                    conv_1=unit(448, 384, kernel_size=3, padding=1),
+                    mixed=_tf_module(
+                        conv=unit(384, 384, kernel_size=(1, 3),
+                                  padding=(0, 1)),
+                        conv_1=unit(384, 384, kernel_size=(3, 1),
+                                    padding=(1, 0)))),
+                tower_2=_tf_module(conv=unit(ic, 192, kernel_size=1)))
+
+        self.layers = _tf_module(
+            conv=unit(3, 32, kernel_size=3, stride=2),
+            conv_1=unit(32, 32, kernel_size=3),
+            conv_2=unit(32, 64, kernel_size=3, padding=1),
+            conv_3=unit(64, 80, kernel_size=1),
+            conv_4=unit(80, 192, kernel_size=3),
+            mixed=block_a(192, 32), mixed_1=block_a(256, 64),
+            mixed_2=block_a(288, 64), mixed_3=block_b(288),
+            mixed_4=block_c(768, 128), mixed_5=block_c(768, 160),
+            mixed_6=block_c(768, 160), mixed_7=block_c(768, 192),
+            mixed_8=block_d(768), mixed_9=block_e(1280),
+            mixed_10=block_e(2048))
+        self.output = nn.Linear(2048, 1008)  # classifier head: FID ignores
+
+    @staticmethod
+    def _resize_tf(x, size=299):
+        """The TorchScript's resize: affine_grid/grid_sample with
+        theta[·,2] += 1/in - 1/out (align_corners=False), which equals
+        TF1 legacy resize_bilinear: src = dst * (in/out), clamped."""
+        b, c, h, w = x.shape
+        theta = torch.eye(2, 3, dtype=x.dtype)
+        theta[0, 2] += theta[0, 0] / w - theta[0, 0] / size
+        theta[1, 2] += theta[1, 1] / h - theta[1, 1] / size
+        theta = theta.unsqueeze(0).repeat(b, 1, 1)
+        grid = F.affine_grid(theta, [b, c, size, size], align_corners=False)
+        return F.grid_sample(x, grid, mode="bilinear",
+                             padding_mode="border", align_corners=False)
+
+    def forward(self, img, return_features=True):
+        """img: [N,3,H,W] float (or uint8) in [0,255]."""
+        x = img.to(torch.float32)
+        x = self._resize_tf(x)
+        x = (x - 128.0) / 128.0
+
+        L = self.layers
+
+        def a(b, x):
+            return torch.cat([
+                b.conv(x),
+                b.tower.conv_1(b.tower.conv(x)),
+                b.tower_1.conv_2(b.tower_1.conv_1(b.tower_1.conv(x))),
+                b.tower_2.conv(_avgpool3_nopad(x))], 1)
+
+        def bblk(b, x):
+            return torch.cat([
+                b.conv(x),
+                b.tower.conv_2(b.tower.conv_1(b.tower.conv(x))),
+                F.max_pool2d(x, kernel_size=3, stride=2)], 1)
+
+        def c(b, x):
+            t1 = b.tower_1
+            bd = t1.conv_4(t1.conv_3(t1.conv_2(t1.conv_1(t1.conv(x)))))
+            return torch.cat([
+                b.conv(x),
+                b.tower.conv_2(b.tower.conv_1(b.tower.conv(x))),
+                bd, b.tower_2.conv(_avgpool3_nopad(x))], 1)
+
+        def d(b, x):
+            t1 = b.tower_1
+            return torch.cat([
+                b.tower.conv_1(b.tower.conv(x)),
+                t1.conv_3(t1.conv_2(t1.conv_1(t1.conv(x)))),
+                F.max_pool2d(x, kernel_size=3, stride=2)], 1)
+
+        def e(b, x, pool):
+            t = b.tower.conv(x)
+            t = torch.cat([b.tower.mixed.conv(t), b.tower.mixed.conv_1(t)], 1)
+            t1 = b.tower_1.conv_1(b.tower_1.conv(x))
+            t1 = torch.cat([b.tower_1.mixed.conv(t1),
+                            b.tower_1.mixed.conv_1(t1)], 1)
+            if pool == "max":
+                bp = F.max_pool2d(x, kernel_size=3, stride=1, padding=1)
+            else:
+                bp = _avgpool3_nopad(x)
+            return torch.cat([b.conv(x), t, t1, b.tower_2.conv(bp)], 1)
+
+        x = L.conv(x)
+        x = L.conv_1(x)
+        x = L.conv_2(x)
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        x = L.conv_3(x)
+        x = L.conv_4(x)
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        x = a(L.mixed, x)
+        x = a(L.mixed_1, x)
+        x = a(L.mixed_2, x)
+        x = bblk(L.mixed_3, x)
+        x = c(L.mixed_4, x)
+        x = c(L.mixed_5, x)
+        x = c(L.mixed_6, x)
+        x = c(L.mixed_7, x)
+        x = d(L.mixed_8, x)
+        x = e(L.mixed_9, x, pool="avg")
+        x = e(L.mixed_10, x, pool="max")
+        features = F.avg_pool2d(x, kernel_size=8).flatten(1)  # TF pool_3
+        if return_features:
+            return features
+        return self.output(features)
+
+
+# ---------------------------------------------------------------------------
 # LPIPS (alex)
 # ---------------------------------------------------------------------------
 
