@@ -91,11 +91,17 @@ class DataLoader:
     independent of num_workers. When None (default), formatters fall back
     to the global ``np.random`` stream — the reference's single-process
     semantics, deterministic only at num_workers=1.
+
+    start_position: offset of the first yielded item in the global item
+    stream. A resumed run passes the number of items already consumed so
+    per-item RNG continues at the same absolute positions as the
+    uninterrupted run (stream-exact resume; the caller fast-forwards
+    `indices` to match).
     """
 
     def __init__(self, dataset, batch_size: int, indices=None,
                  num_workers: int = 4, prefetch: int = 4,
-                 drop_last: bool = True, seed=None):
+                 drop_last: bool = True, seed=None, start_position: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices = indices
@@ -109,6 +115,7 @@ class DataLoader:
                 f"seed given but {type(dataset).__name__} does not "
                 "support per-item RNG (set supports_rng = True and "
                 "accept __getitem__(idx, rng=...))")
+        self.start_position = start_position
 
     def _index_batches(self):
         """Yields (start_position, [dataset indices]); start_position is
@@ -117,7 +124,7 @@ class DataLoader:
         it = iter(self.indices if self.indices is not None
                   else range(len(self.dataset)))
         batch: List[int] = []
-        pos = 0
+        pos = self.start_position
         for idx in it:
             batch.append(idx)
             if len(batch) == self.batch_size:

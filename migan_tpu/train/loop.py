@@ -12,6 +12,7 @@ and the EMA update; stats come back as scalars.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import os.path as osp
@@ -145,16 +146,21 @@ def _build_metric_ctx(cfg: Dict[str, Any]):
         print_log("metrics configured but no inception_weights found — "
                   "skipping metric evaluation (set eval.inception_weights)")
         return None
-    import jax
-
     from ..data.factory import get_dataset
-    from ..evalx.inception import inception_apply, import_inception_state_dict
-    from ..io.torch_import import load_torch_state_dict
+    from ..evalx.inception import load_inception_weights, make_detector
 
-    params = import_inception_state_dict(load_torch_state_dict(weights))
-    detector = jax.jit(lambda x: inception_apply(params, x))
+    # flavor: the reference's TRAINING-TIME FID uses the NVIDIA TF-named
+    # TorchScript detector (frechet_inception_distance.py:25-26), which
+    # gives different numbers from the standalone pytorch_fid one
+    # (SURVEY §3.3). Auto-detect from the weight file; override with
+    # eval.inception_flavor for explicitness.
+    params, flavor = load_inception_weights(
+        weights, eval_cfg.get("inception_flavor", "auto"))
+    print_log(f"training-time FID detector flavor: {flavor}")
+    detector = make_detector(params, flavor)
     dataset = get_dataset(eval_cfg["dataset"])
     return {"metrics": metrics, "detector": detector, "dataset": dataset,
+            "detector_tag": f"inception-{flavor}",
             "batch_size": eval_cfg.get("batch_size", 32)}
 
 
@@ -177,7 +183,9 @@ def _run_metrics(cfg, state, g_cfg, ctx, log_dir) -> Optional[float]:
             continue
         result = metric_main.calc_metric(
             name, dataset=ctx["dataset"], generator_fn=gen,
-            detector_fn=ctx["detector"], batch_size=ctx["batch_size"],
+            detector_fn=ctx["detector"],
+            detector_tag=ctx.get("detector_tag", "inception"),
+            batch_size=ctx["batch_size"],
             cache_dir=osp.join(log_dir, "fid-cache"),
             dataset_tag=cfg.get("eval", {}).get("dataset", {}).get("name",
                                                                    ""))
@@ -222,13 +230,6 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     local_bs = batch_size // n_proc
     sampler = InfiniteSampler(len(trainset), num_shards=n_proc, shard=proc,
                               seed=seed)
-    # seed=: per-item mask/flip RNG derived from (seed, item position) —
-    # bit-reproducible at any dataset_num_workers (the reference's torch
-    # DataLoader per-worker seeding gave determinism only per worker
-    # count; the global-np.random fallback here isn't even that)
-    loader = DataLoader(trainset, local_bs, indices=iter(sampler),
-                        num_workers=cfgt.get("dataset_num_workers") or 4,
-                        seed=seed)
 
     # ----- models ----------------------------------------------------------
     g_handle = get_model()(cfg["model_g"])
@@ -249,6 +250,28 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         path = ckpt.latest(resume_path) or resume_path
         state = ckpt.restore(path, state)
         print_log(f"resumed from {path} at step {int(state.step)}")
+
+    # Stream-exact resume (stronger than the reference, which restarted
+    # its data order and noise stream on every resume,
+    # migan_default.py:309-312,387-396): the data pipeline is addressed by
+    # absolute batch index — the sampler fast-forwards past the
+    # `state.step` batches already consumed, per-item mask/flip RNG
+    # continues at the same global item positions, and per-step noise keys
+    # are fold_in(data_key, batch_idx) rather than a sequential split
+    # chain — so kill+resume replays EXACTLY the uninterrupted run
+    # (asserted bitwise in tests/test_train_loop.py).
+    data_key = jax.random.fold_in(key, 0x5eed)
+    skip_items = int(state.step) * local_bs
+    sampler_it = iter(sampler)
+    if skip_items:
+        next(itertools.islice(sampler_it, skip_items - 1, skip_items))
+    # seed=: per-item mask/flip RNG derived from (seed, item position) —
+    # bit-reproducible at any dataset_num_workers (the reference's torch
+    # DataLoader per-worker seeding gave determinism only per worker
+    # count; the global-np.random fallback here isn't even that)
+    loader = DataLoader(trainset, local_bs, indices=sampler_it,
+                        num_workers=cfgt.get("dataset_num_workers") or 4,
+                        seed=seed, start_position=skip_items)
 
     mesh = make_mesh()
     state = replicate(state, mesh)
@@ -304,7 +327,10 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
                 _save_image_grid(x, osp.join(log_dir, "reals.png"))
                 _save_image_grid(m * 2 - 1, osp.join(log_dir, "masks.png"))
                 _save_image_grid(x * m, osp.join(log_dir, "erased.png"))
-        key, k_step = jax.random.split(key)
+        # noise key addressed by absolute optimizer-step index (resume- and
+        # history-independent); in fused mode batch_idx advances only at
+        # dispatch, so buffered batches take the next len(step_buf) indices
+        k_step = jax.random.fold_in(data_key, batch_idx + len(step_buf))
         if fused_fn is not None:
             step_buf.append((np.asarray(x), np.asarray(mask[..., None])))
             key_buf.append(k_step)
