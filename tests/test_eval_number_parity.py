@@ -35,7 +35,10 @@ REF_ROOT = "/root/reference"
 pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF_ROOT), reason="reference not mounted")]
 
-N_IMAGES = 10
+# 64 images: enough to exercise the f64 streaming mean/cov and the
+# shard-extend sampler non-degenerately (a 10-image FID has a
+# near-singular covariance); still CPU-tractable for the torch oracle.
+N_IMAGES = 64
 RES = 256
 
 
