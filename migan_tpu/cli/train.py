@@ -97,6 +97,15 @@ def cfg_initiates(cfg, args):
 
 def main(argv=None):
     args = get_args(argv)
+
+    # SIGUSR1 -> dump all thread stacks to stderr without dying. Long
+    # multi-hour runs over a remote-device transport can stall on a hung
+    # RPC; this gives operators a zero-setup way to see where (the
+    # reference relied on py-spy/gdb against its per-GPU workers).
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     from ..utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 

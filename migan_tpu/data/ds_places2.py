@@ -179,16 +179,25 @@ class FreeFormMaskFormatter:
         self.mask_backend = mask_backend
 
     def __call__(self, element, rng=np.random):
-        x = element["image"] * 2 - 1
         s = self.resolution
-        if x.shape[:2] != (s, s):
-            x = _bicubic_resize(x, s)
+        # deterministic scale/shift+resize: memoized into cache_decoded
+        # elements (factory.ds_base) so steady-state cost per access is
+        # just the flip draw + mask synthesis
+        x = element.get(f"_resized_{s}")
+        if x is None:
+            x = element["image"] * 2 - 1
+            if x.shape[:2] != (s, s):
+                x = _bicubic_resize(x, s)
+            x = np.ascontiguousarray(x, np.float32)
+            if element.get("_cache_derived"):
+                element[f"_resized_{s}"] = x
         if self.random_flip and rng.rand() < 0.5:
-            x = x[:, ::-1].copy()
+            x = x[:, ::-1]
         if self.mask_backend == "native":
             from .fast_masks import fast_random_mask
 
             mask = fast_random_mask(s, self.hole_range, rng=rng)
         else:
             mask = RandomMask(s, self.hole_range, rng=rng)
+        # astype(copy=True): callers never alias the cached buffer
         return x.astype(np.float32), mask, element["unique_id"]

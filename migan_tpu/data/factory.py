@@ -67,6 +67,16 @@ class ds_base:
         fcfg = cfg.get("formatter")
         self.formatter = (_FORMATTERS[fcfg["type"]](**fcfg.get("args") or {})
                           if fcfg else None)
+        # cache_decoded: memoize post-loader elements (decoded images) in
+        # host RAM, and let formatters memoize deterministic derived
+        # tensors (e.g. the bicubic resize) back into the element. On a
+        # TPU pod the host CPU is weak relative to the chip; for small /
+        # repeating datasets re-decoding per epoch starves the device
+        # pipeline. Opt-in: costs one decoded copy of the dataset in RAM.
+        # Random draws (flips, masks, crops) stay per-access, so sample
+        # diversity and seeded determinism are unchanged.
+        self._cache: Optional[Dict[int, Dict[str, Any]]] = (
+            {} if cfg.get("cache_decoded") else None)
 
     def init_load_info(self, cfg):
         raise NotImplementedError
@@ -80,9 +90,20 @@ class ds_base:
         return len(self.load_info)
 
     def __getitem__(self, idx, rng=None):
-        element = dict(self.load_info[idx])
-        for loader in self.loaders:
-            loader(element)
+        if self._cache is not None:
+            element = self._cache.get(idx)
+            if element is None:
+                element = dict(self.load_info[idx])
+                for loader in self.loaders:
+                    loader(element)
+                element["_cache_derived"] = True
+                # dict set is atomic under the GIL; a racing worker at
+                # worst decodes the same item twice
+                self._cache[idx] = element
+        else:
+            element = dict(self.load_info[idx])
+            for loader in self.loaders:
+                loader(element)
         if self.formatter is not None:
             if rng is not None:
                 return self.formatter(element, rng=rng)

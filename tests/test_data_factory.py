@@ -176,6 +176,42 @@ def test_dataloader_seeded_rng_bitwise_reproducible(places2_dir):
                for (_, ma, _), (_, md, _) in zip(a, d))
 
 
+def test_cache_decoded_bitwise_equal_and_fresh_draws(places2_dir):
+    """cache_decoded memoizes decode+resize in host RAM (the TPU-pod host
+    is weak relative to the chip; small datasets starve the device
+    pipeline on re-decode). It must change NOTHING numerically: identical
+    per-item streams vs the uncached dataset under the same seed, while
+    flips/masks still vary access-to-access (randomness is per-access,
+    not cached)."""
+    from migan_tpu.data.sampler import _item_rng as derive_item_rng
+
+    cfg_plain = _places_cfg(places2_dir)
+    cfg_cached = _places_cfg(places2_dir)
+    cfg_cached["cache_decoded"] = True
+    ds_a, ds_b = get_dataset(cfg_plain), get_dataset(cfg_cached)
+
+    for pos in range(12):          # two passes over 6 items
+        idx = pos % 6
+        xa, ma, ua = ds_a.__getitem__(idx, rng=derive_item_rng(5, pos))
+        xb, mb, ub = ds_b.__getitem__(idx, rng=derive_item_rng(5, pos))
+        assert ua == ub
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ma, mb)
+
+    # cached element holds decode + derived resize after first access
+    el = ds_b._cache[0]
+    assert "image" in el and "_resized_64" in el
+    resized_before = el["_resized_64"].copy()
+
+    # randomness still per-access: same item, different rng -> new mask
+    _, m1, _ = ds_b.__getitem__(0, rng=derive_item_rng(5, 100))
+    _, m2, _ = ds_b.__getitem__(0, rng=derive_item_rng(5, 101))
+    assert not np.array_equal(m1, m2)
+    # and accesses never mutate the cached buffer
+    np.testing.assert_array_equal(ds_b._cache[0]["_resized_64"],
+                                  resized_before)
+
+
 def test_dataloader_seed_requires_rng_support():
     with pytest.raises(ValueError):
         DataLoader(_SlowDataset(8), batch_size=2, seed=3)
