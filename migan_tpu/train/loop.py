@@ -132,6 +132,17 @@ def _make_tb_writer(log_dir: str):
         return None
 
 
+def _encode_wire(x: np.ndarray, m: np.ndarray, wire: str):
+    """Host side of the batch wire format (see train.wire_format and
+    train_step._decode_batch). 'u8': images round((x+1)*127.5) -> uint8
+    (values clip to [-1,1]; inputs are already nominally in that range),
+    masks 0/1 uint8."""
+    if wire == "u8":
+        return (np.clip((x + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8),
+                m.astype(np.uint8))
+    return x, m
+
+
 def _build_metric_ctx(cfg: Dict[str, Any]):
     """Set up the FID-inpainting metric machinery
     (reference migan_default.py:462-490 / metric_main registry) if the
@@ -292,6 +303,14 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         step_fn = make_train_step(g_cfg, d_cfg, tcfg, teacher_fn=teacher_fn)
 
     d_reg_interval = cfgt.get("d_reg_interval") or 0
+    # wire_format 'u8': ship batches to the device as uint8 (4x fewer
+    # bytes; decoded on-device, train_step._decode_batch). Worth it when
+    # host->device bandwidth is the wall (remote-TPU tunnel). Default
+    # 'f32' keeps the reference-exact float pipeline: u8 rounds training
+    # inputs to the 1/127.5 grid and clips bicubic overshoot.
+    wire = cfgt.get("wire_format") or "f32"
+    if wire not in ("f32", "u8"):
+        raise ValueError(f"train.wire_format must be f32|u8, got {wire!r}")
 
     # ----- loop ------------------------------------------------------------
     total_kimg = cfgt.get("total_kimg", 25000)
@@ -332,7 +351,8 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         # dispatch, so buffered batches take the next len(step_buf) indices
         k_step = jax.random.fold_in(data_key, batch_idx + len(step_buf))
         if fused_fn is not None:
-            step_buf.append((np.asarray(x), np.asarray(mask[..., None])))
+            step_buf.append(_encode_wire(np.asarray(x),
+                                         np.asarray(mask[..., None]), wire))
             key_buf.append(k_step)
             if len(step_buf) < spc:
                 continue
@@ -354,9 +374,11 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             cur_nimg += batch_size * spc
             batch_idx += spc
         else:
+            xw, mw = _encode_wire(np.asarray(x), np.asarray(mask[..., None]),
+                                  wire)
             batch = shard_batch({
-                "real": jnp.asarray(x),
-                "mask": jnp.asarray(mask[..., None]),
+                "real": jnp.asarray(xw),
+                "mask": jnp.asarray(mw),
             }, mesh)
             do_dr1 = (d_reg_interval > 0
                       and batch_idx % d_reg_interval == 0)

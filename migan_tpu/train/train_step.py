@@ -260,10 +260,12 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     def ema_phase(params_G, params_G_ema, nimg):
         return ema_update(params_G, params_G_ema, nimg, cfg)
 
+    _decode = jax.jit(_decode_batch)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, *, do_dr1: bool = False
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        real, mask = batch["real"], batch["mask"]
+        real, mask = _decode(batch["real"], batch["mask"])
         k_g, k_d = jax.random.split(rng)
         params_G, opt_G, g_stats = g_phase(
             state.params_G, state.opt_G, state.params_D, real, mask, k_g)
@@ -281,6 +283,20 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
         return new_state, {**g_stats, **d_stats}
 
     return train_step
+
+
+def _decode_batch(real, mask):
+    """On-device decode of the uint8 wire format (train.wire_format='u8',
+    train/loop.py::_encode_wire): over a thin host<->device link (the
+    remote-TPU tunnel; the reference's analog is shipping uint8 to the GPU
+    and normalizing there, metric_utils.py-style) images travel as
+    round((x+1)*127.5) uint8 and masks as 0/1 uint8 — 4x fewer wire bytes
+    than the float32 contract. Float batches pass through untouched."""
+    if real.dtype == jnp.uint8:
+        real = real.astype(jnp.float32) / 127.5 - 1.0
+    if mask.dtype == jnp.uint8:
+        mask = mask.astype(jnp.float32)
+    return real, mask
 
 
 def make_fused_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
@@ -323,6 +339,7 @@ def make_fused_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     k_steps = steps_per_call
 
     def one_step(state: TrainState, real, mask, rng):
+        real, mask = _decode_batch(real, mask)
         k_g, k_d = jax.random.split(rng)
 
         def g_loss_fn(p, x, m, kk):

@@ -295,3 +295,42 @@ def test_fused_multi_step_on_8_device_mesh():
     assert np.isfinite(np.asarray(stats["Loss/G/loss"])).all()
     w = state.params_G["encoder"]["b16"]["conv1"]["conv1"]["w_stack"]
     assert w.sharding.is_fully_replicated
+
+
+def test_uint8_wire_format_matches_float():
+    """train.wire_format='u8' (host encode in train/loop.py::_encode_wire,
+    on-device decode in train_step._decode_batch) must equal the float
+    pipeline fed the SAME quantized values — the wire format is a
+    transport codec, not a numerics change, once inputs sit on the
+    1/127.5 grid."""
+    from migan_tpu.train.loop import _encode_wire
+
+    state = init_train_state(jax.random.PRNGKey(0), CFG_G, CFG_D, TCFG)
+    step = make_train_step(CFG_G, CFG_D, TCFG)
+
+    rng = np.random.RandomState(3)
+    real = rng.rand(8, 16, 16, 3).astype(np.float32) * 2 - 1
+    mask = (rng.rand(8, 16, 16, 1) > 0.4).astype(np.float32)
+    real_u8, mask_u8 = _encode_wire(real, mask, "u8")
+    assert real_u8.dtype == np.uint8 and mask_u8.dtype == np.uint8
+    # the float batch the u8 wire represents
+    real_q = real_u8.astype(np.float32) / 127.5 - 1.0
+
+    k = jax.random.PRNGKey(9)
+    s_u8, st_u8 = step(state, {"real": jnp.asarray(real_u8),
+                               "mask": jnp.asarray(mask_u8)}, k, do_dr1=True)
+    s_f, st_f = step(state, {"real": jnp.asarray(real_q),
+                             "mask": jnp.asarray(mask)}, k, do_dr1=True)
+    # XLA may lower /127.5 differently from numpy (reciprocal multiply):
+    # agreement is to float ulps, not bitwise — bound the L2 drift tightly
+    n_g = sum(np.asarray(l).size for l in
+              jax.tree_util.tree_leaves(s_f.params_G))
+    assert _tree_l2_diff(s_u8.params_G, s_f.params_G) < 1e-8 * n_g
+    n_d = sum(np.asarray(l).size for l in
+              jax.tree_util.tree_leaves(s_f.params_D))
+    assert _tree_l2_diff(s_u8.params_D, s_f.params_D) < 1e-8 * n_d
+    np.testing.assert_allclose(float(st_u8["Loss/G/loss"]),
+                               float(st_f["Loss/G/loss"]), rtol=1e-5)
+
+    # quantization is faithful: within half a grid step of the original
+    assert np.abs(real_q - np.clip(real, -1, 1)).max() <= (1 / 127.5) * 0.51
