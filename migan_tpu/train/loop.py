@@ -336,6 +336,21 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     done = False
     step_buf: list = []  # buffered (real, mask) host batches (spc > 1)
     key_buf: list = []
+    pending_stats: list = []  # per-dispatch device stat dicts (spc > 1)
+
+    def _drain_stats():
+        """Materialize deferred per-dispatch stats (one pipelined
+        device_get per dict) and report rows in dispatch order."""
+        for sstats in pending_stats:
+            host = jax.device_get(sstats)
+            r1_ran = host.pop("Misc/r1_ran")
+            for i in range(spc):
+                row = {k: float(v[i]) for k, v in host.items()}
+                if r1_ran[i] < 0.5:   # R1 skipped: don't report zeros
+                    row.pop("Loss/r1_penalty", None)
+                    row.pop("Loss/D/reg", None)
+                training_stats._default_registry.report_dict(row)
+        pending_stats.clear()
     for x, mask, _uid in loader:
         if not drew_init:
             # init grids (reference draw_functor isinit branch,
@@ -363,14 +378,12 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             state, sstats = fused_fn(state, stacked, jnp.stack(key_buf))
             step_buf.clear()
             key_buf.clear()
-            sstats = {k: np.asarray(v) for k, v in sstats.items()}
-            r1_ran = sstats.pop("Misc/r1_ran")
-            for i in range(spc):
-                row = {k: float(v[i]) for k, v in sstats.items()}
-                if r1_ran[i] < 0.5:   # R1 skipped: don't report zeros
-                    row.pop("Loss/r1_penalty", None)
-                    row.pop("Loss/D/reg", None)
-                training_stats._default_registry.report_dict(row)
+            # Defer stats materialization to the tick boundary: fetching
+            # the stat dict here blocks on the dispatch just enqueued,
+            # serializing host batch-building with device compute and the
+            # batch upload (measured 13.9 -> see BENCH notes on the
+            # remote tunnel). Device arrays are tiny; drain in _drain().
+            pending_stats.append(sstats)
             cur_nimg += batch_size * spc
             batch_idx += spc
         else:
@@ -395,6 +408,7 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             continue
 
         # ---- tick maintenance (reference migan_default.py:429-585) -------
+        _drain_stats()
         tick_time = time.time() - tick_start_time
         collector.update()
         resources = _resource_stats()
