@@ -42,9 +42,16 @@ def restore(path: str, template: TrainState) -> TrainState:
 
 
 def latest(ckpt_dir: str) -> Optional[str]:
+    """Newest COMMITTED checkpoint. A crash can land mid-save and leave an
+    orbax temp dir (step_N.orbax-checkpoint-tmp...); only exact step_<n>
+    names count, so resume falls back to the last complete snapshot
+    (exercised for real by the kill+resume training demonstration)."""
+    import re
+
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    steps = [d for d in os.listdir(ckpt_dir)
+             if re.fullmatch(r"step_\d+", d)]
     if not steps:
         return None
     return os.path.join(ckpt_dir, sorted(steps)[-1])

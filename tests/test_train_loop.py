@@ -200,3 +200,19 @@ def test_train_stage_resume_stream_exact(smoke_cfg, tmp_path):
         for a, b in zip(la, lb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=name)
+
+
+def test_checkpoint_latest_skips_torn_orbax_tmp(tmp_path):
+    """A kill mid-save leaves an orbax temp dir that sorts AFTER the last
+    committed step; latest() must ignore it (found live: SIGKILL during
+    the tick-20 checkpoint of the training demonstration left
+    step_00005376.orbax-checkpoint-tmp next to committed step_00004352)."""
+    from migan_tpu.train import checkpoint as ckpt
+
+    d = tmp_path / "weight"
+    d.mkdir()
+    (d / "step_00004352").mkdir()
+    (d / "step_00005376.orbax-checkpoint-tmp").mkdir()
+    assert ckpt.latest(str(d)).endswith("step_00004352")
+    (d / "step_00005376").mkdir()
+    assert ckpt.latest(str(d)).endswith("step_00005376")
