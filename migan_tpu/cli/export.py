@@ -63,7 +63,16 @@ def main(argv=None):
     cfg = MiganConfig(resolution=args.resolution, depthwise=True,
                       reparametrize=True,
                       num_reparam_tensors=args.num_reparam_tensors)
-    if args.model_path.endswith(".npz"):
+    if os.path.isdir(args.model_path):
+        # an orbax TrainState checkpoint dir (log/<run>/weight/step_N or
+        # the weight/ dir itself): fold the EMA weights, as the reference
+        # export folds a snapshot's G_ema
+        from ..train.checkpoint import extract_field, latest
+
+        path = latest(args.model_path) or args.model_path
+        print(f"extracting params_G_ema from {path}")
+        train_params = extract_field(path, "params_G_ema")
+    elif args.model_path.endswith(".npz"):
         train_params = load_npz(args.model_path)
     elif args.model_path.endswith(".pkl"):
         # Reference training snapshot {'G','D','G_ema'} of whole torch

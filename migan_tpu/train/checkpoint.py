@@ -41,6 +41,28 @@ def restore(path: str, template: TrainState) -> TrainState:
                                   template, restored)
 
 
+def extract_field(path: str, field: str = "params_G_ema"):
+    """Template-free extraction of one TrainState field from a checkpoint
+    directory — no model construction needed (for demo/export: pull the
+    EMA weights out of a training snapshot, the analog of reading 'G_ema'
+    from a reference pkl). Orbax restores the unregistered pytree as a
+    list in TrainState field order."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    names = [f.name for f in dataclasses.fields(TrainState)]
+    if field not in names:
+        raise ValueError(f"unknown TrainState field {field!r}; have {names}")
+    out = raw[names.index(field)]
+    if field.startswith("params") and not (
+            isinstance(out, dict) and
+            ("encoder" in out or "b4" in out)):
+        raise RuntimeError(f"checkpoint layout mismatch extracting {field}")
+    return out
+
+
 def latest(ckpt_dir: str) -> Optional[str]:
     """Newest COMMITTED checkpoint. A crash can land mid-save and leave an
     orbax temp dir (step_N.orbax-checkpoint-tmp...); only exact step_<n>

@@ -216,3 +216,28 @@ def test_checkpoint_latest_skips_torn_orbax_tmp(tmp_path):
     assert ckpt.latest(str(d)).endswith("step_00004352")
     (d / "step_00005376").mkdir()
     assert ckpt.latest(str(d)).endswith("step_00005376")
+
+
+def test_checkpoint_extract_field(tmp_path):
+    """Template-free EMA extraction from a checkpoint dir (what the export
+    CLI uses when handed log/<run>/weight): same tree as the saved
+    params_G_ema, no model construction."""
+    import jax
+    from migan_tpu.models.migan import MiganConfig
+    from migan_tpu.train import checkpoint as ckpt
+    from migan_tpu.train.train_step import TrainConfig, init_train_state
+
+    cfg = MiganConfig(resolution=16, depthwise=True, reparametrize=True,
+                      num_reparam_tensors=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, cfg,
+                             TrainConfig(batch_size=4))
+    path = ckpt.save(str(tmp_path / "weight"), 7, state)
+    ema = ckpt.extract_field(path)
+    want = jax.tree_util.tree_leaves(state.params_G_ema)
+    got = jax.tree_util.tree_leaves(ema)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    assert int(ckpt.extract_field(path, "step")) == 0  # state.step, not 7
+    with pytest.raises(ValueError):
+        ckpt.extract_field(path, "nope")
