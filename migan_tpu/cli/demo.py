@@ -72,10 +72,15 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
     import jax
     import jax.numpy as jnp
 
-    if model_name in ("migan-256", "migan-512"):
+    if model_name.startswith("migan-"):
+        # any power-of-two resolution: the inference G is fully
+        # convolutional (migan-128 serves e.g. generators trained by the
+        # demo_places128 experiment); the whole-stage Pallas ladders exist
+        # for the reference's shipped 256/512 geometries
         from ..models.migan_inference import GeneratorConfig
 
-        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        if (jax.default_backend() == "tpu" and jax.device_count() == 1
+                and model_name in ("migan-256", "migan-512")):
             # whole-stage Pallas chain (migan-512 folded / migan-256
             # unfolded; falls back per-batch-geometry internally)
             from ..models.migan_pallas import generator_apply_pallas as \
