@@ -144,3 +144,45 @@ def test_pipeline_polymorphic_export():
         got = np.asarray(fn(jnp.asarray(i), jnp.asarray(m)))
         want = np.asarray(pipeline(jnp.asarray(i), jnp.asarray(m)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_export_cli_from_checkpoint_dir(tmp_path):
+    """The export CLI accepts an orbax checkpoint dir as --model-path
+    (log/<run>/weight), resolves the newest committed step, folds its
+    params_G_ema, and writes migan.npz + migan.stablehlo — the exact
+    checkpoint->deployable flow of the training demonstration
+    (docs/TRAINING_DEMO.md)."""
+    from PIL import Image
+
+    from migan_tpu.cli import export as export_cli
+    from migan_tpu.train import checkpoint as ckpt
+    from migan_tpu.train.train_step import TrainConfig, init_train_state
+    from migan_tpu.io.checkpoint import load_npz
+
+    state = init_train_state(jax.random.PRNGKey(0), CFG, CFG,
+                             TrainConfig(batch_size=4))
+    wdir = tmp_path / "weight"
+    ckpt.save(str(wdir), 3, state)
+    # a torn temp dir from a crash must not confuse resolution
+    (wdir / "step_00000009.orbax-checkpoint-tmp").mkdir()
+
+    img_dir = tmp_path / "imgs"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir(), mask_dir.mkdir()
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+        img_dir / "a.png")
+    Image.fromarray(
+        (rng.rand(64, 64) > 0.3).astype(np.uint8) * 255).convert("L").save(
+        mask_dir / "a.png")
+
+    out = tmp_path / "out"
+    export_cli.main([
+        "--model-path", str(wdir), "--resolution", "64",
+        "--num-reparam-tensors", "3",
+        "--origs-dir", str(img_dir), "--masks-dir", str(mask_dir),
+        "--output-dir", str(out), "--num-samples", "0",
+    ])
+    folded = load_npz(str(out / "models" / "migan.npz"))
+    assert "synthesis" in folded and "encoder" in folded
+    assert (out / "models" / "migan.stablehlo").exists()
