@@ -659,12 +659,15 @@ def main():
     section("roofline", 120, lambda: roofline_migan512(value, bs))
 
     def p50():
+        # note set only after the measurement succeeds — a failed section
+        # must not leave an explanation for a number that isn't there
+        ms = round(_retry_once(bench_latency_p50, "p50 latency"), 2)
         result["p50_note"] = (
             "bs=1 latency is dominated by the dev harness's remote-PJRT "
             "tunnel RPC (~25 ms RTT); device compute implied by batched "
             "throughput is ~1.4 ms/img. On a locally-attached TPU the p50 "
             "is the device number (ROADMAP.md #7).")
-        return round(_retry_once(bench_latency_p50, "p50 latency"), 2)
+        return ms
 
     section("p50_latency_ms", 90, p50)
     section("migan256_imgs_per_sec", 120,

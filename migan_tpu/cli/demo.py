@@ -72,11 +72,17 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
     import jax
     import jax.numpy as jnp
 
-    if model_name.startswith("migan-"):
-        # any power-of-two resolution: the inference G is fully
+    import re
+
+    m = re.fullmatch(r"migan-(\d+)", model_name)
+    if m and int(m.group(1)) >= 16 and (int(m.group(1))
+                                        & (int(m.group(1)) - 1)) == 0:
+        # any power-of-two resolution >=16: the inference G is fully
         # convolutional (migan-128 serves e.g. generators trained by the
         # demo_places128 experiment); the whole-stage Pallas ladders exist
-        # for the reference's shipped 256/512 geometries
+        # for the reference's shipped 256/512 geometries. Malformed names
+        # ('migan-base', 'migan-100') fall through to the unsupported-name
+        # error below.
         from ..models.migan_inference import GeneratorConfig
 
         if (jax.default_backend() == "tpu" and jax.device_count() == 1
@@ -93,7 +99,7 @@ def load_model(model_name: str, model_path: str, dtype: str = "float32",
             from ..models.migan_fold import generator_apply_fast as \
                 generator_apply
 
-        resolution = int(model_name.split("-")[1])
+        resolution = int(m.group(1))
         cfg = GeneratorConfig(resolution=resolution)
         if model_path.endswith(".npz"):
             from ..io.checkpoint import load_npz

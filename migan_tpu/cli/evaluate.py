@@ -39,7 +39,14 @@ def get_args(argv=None):
     p.add_argument("--mask-dir", type=Path, default=None)
     p.add_argument("--device", type=str, default="tpu")
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--num-workers", type=int, default=1,
+                   help="loader threads. Default 1 keeps on-the-fly masks "
+                   "on the sequential seed-0 global stream (bit-exact "
+                   "reference protocol); >1 switches to the per-item "
+                   "seeded stream — still deterministic, but a different "
+                   "stream than the reference, so published-number "
+                   "comparisons should keep 1 (or pass --mask-dir, "
+                   "identical under both)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32")
     p.add_argument("--inception-weights", type=str, default=None)
@@ -174,15 +181,20 @@ def main(argv=None):
                                extend=True).epoch_indices(0)
     else:
         indices = range(n)
-    # num_workers=1 keeps on-the-fly masks on the sequential seed-0
-    # global stream (bit-exact reference protocol); more workers switch
-    # to per-item seeded RNG — still fully deterministic, but a different
-    # (worker-count-independent) stream. Pre-generated --mask-dir is
-    # identical under both.
+    # num_workers=1 (the default) keeps on-the-fly masks on the
+    # sequential seed-0 global stream (bit-exact reference protocol);
+    # more workers switch to per-item seeded RNG — still fully
+    # deterministic, but a different (worker-count-independent) stream.
+    # Pre-generated --mask-dir is identical under both. Multi-process:
+    # positions are rank-strided so shards draw from interleaved global
+    # positions (no cross-shard mask collisions; the union equals the
+    # single-process per-item stream).
     dl = DataLoader(ds, batch_size=args.batch_size,
                     indices=indices, num_workers=args.num_workers,
                     drop_last=False,
-                    seed=0 if args.num_workers > 1 else None)
+                    seed=0 if args.num_workers > 1 else None,
+                    start_position=jax.process_index(),
+                    position_stride=n_proc)
 
     # Data-parallel sharding: batches split over the per-process device
     # mesh; the jitted model/detector partition automatically (replaces the

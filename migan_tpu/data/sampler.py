@@ -92,30 +92,36 @@ class DataLoader:
     to the global ``np.random`` stream — the reference's single-process
     semantics, deterministic only at num_workers=1.
 
-    start_position: offset of the first yielded item in the global item
-    stream. A resumed run passes the number of items already consumed so
-    per-item RNG continues at the same absolute positions as the
-    uninterrupted run (stream-exact resume; the caller fast-forwards
-    `indices` to match).
+    start_position / position_stride: address this loader's items inside
+    the GLOBAL item stream: the t-th item this loader yields sits at
+    global position ``start_position + t * position_stride``. A resumed
+    run passes the items already consumed so per-item RNG continues at
+    the same absolute positions (stream-exact resume; the caller
+    fast-forwards `indices` to match). A rank-sharded run passes
+    ``start_position=...+shard, position_stride=num_shards`` so shards
+    occupy interleaved global positions — no two shards share a mask/flip
+    stream, and the union of all shards reproduces the single-process
+    stream bit-exactly.
     """
 
     def __init__(self, dataset, batch_size: int, indices=None,
                  num_workers: int = 4, prefetch: int = 4,
-                 drop_last: bool = True, seed=None, start_position: int = 0):
+                 drop_last: bool = True, seed=None, start_position: int = 0,
+                 position_stride: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices = indices
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
-        self.seed = (seed if seed is None or
-                     getattr(dataset, "supports_rng", False) else None)
-        if seed is not None and self.seed is None:
+        if seed is not None and not getattr(dataset, "supports_rng", False):
             raise ValueError(
                 f"seed given but {type(dataset).__name__} does not "
                 "support per-item RNG (set supports_rng = True and "
                 "accept __getitem__(idx, rng=...))")
+        self.seed = seed
         self.start_position = start_position
+        self.position_stride = position_stride
 
     def _index_batches(self):
         """Yields (start_position, [dataset indices]); start_position is
@@ -125,11 +131,12 @@ class DataLoader:
                   else range(len(self.dataset)))
         batch: List[int] = []
         pos = self.start_position
+        step = self.position_stride
         for idx in it:
             batch.append(idx)
             if len(batch) == self.batch_size:
                 yield pos, batch
-                pos += len(batch)
+                pos += len(batch) * step
                 batch = []
         if batch and not self.drop_last:
             yield pos, batch
@@ -161,7 +168,8 @@ class DataLoader:
                     items = [self.dataset[i] for i in idxs]
                 else:
                     items = [self.dataset.__getitem__(
-                        i, rng=_item_rng(self.seed, pos + j))
+                        i, rng=_item_rng(self.seed,
+                                         pos + j * self.position_stride))
                         for j, i in enumerate(idxs)]
                 q.put((seq, collate(items)))
 

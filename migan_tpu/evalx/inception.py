@@ -437,11 +437,16 @@ def import_inception_torchscript(path: str) -> Params:
     (inception-2015-12-05.pt, reference metric_utils.py:40-51 cache) and
     import its weights. torch.jit.load never executes the scripted
     forward here — only state_dict() is read."""
+    return import_inception_tf_names(_torchscript_state_dict(path))
+
+
+def _torchscript_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """state_dict of a TorchScript archive as numpy (never executes the
+    scripted forward — only weights are read)."""
     import torch
 
     mod = torch.jit.load(path, map_location="cpu")
-    sd = {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
-    return import_inception_tf_names(sd)
+    return {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
 
 
 def load_inception_weights(path: str, flavor: str = "auto"):
@@ -460,11 +465,7 @@ def load_inception_weights(path: str, flavor: str = "auto"):
     try:
         sd = load_torch_state_dict(path)
     except Exception:
-        import torch
-
-        mod = torch.jit.load(path, map_location="cpu")
-        sd = {k: v.detach().cpu().numpy()
-              for k, v in mod.state_dict().items()}
+        sd = _torchscript_state_dict(path)
     keys = list(sd)
     has_torchvision = any(k.startswith(("Mixed_", "Conv2d_")) for k in keys)
     has_tf = any(

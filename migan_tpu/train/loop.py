@@ -276,13 +276,20 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     sampler_it = iter(sampler)
     if skip_items:
         next(itertools.islice(sampler_it, skip_items - 1, skip_items))
-    # seed=: per-item mask/flip RNG derived from (seed, item position) —
-    # bit-reproducible at any dataset_num_workers (the reference's torch
-    # DataLoader per-worker seeding gave determinism only per worker
-    # count; the global-np.random fallback here isn't even that)
+    # seed=: per-item mask/flip RNG derived from (seed, GLOBAL item
+    # position) — bit-reproducible at any dataset_num_workers (the
+    # reference's torch DataLoader per-worker seeding gave determinism
+    # only per worker count; the global-np.random fallback here isn't
+    # even that). Positions are rank-strided (this shard's t-th item is
+    # global position t*n_proc + proc, matching InfiniteSampler's
+    # rank-striding of the permuted order), so shards never share a
+    # mask/flip stream and a multi-process run draws exactly the
+    # single-process streams.
     loader = DataLoader(trainset, local_bs, indices=sampler_it,
                         num_workers=cfgt.get("dataset_num_workers") or 4,
-                        seed=seed, start_position=skip_items)
+                        seed=seed,
+                        start_position=skip_items * n_proc + proc,
+                        position_stride=n_proc)
 
     mesh = make_mesh()
     state = replicate(state, mesh)

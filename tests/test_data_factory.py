@@ -268,3 +268,36 @@ def test_adv_inpainting_formatter_matches_torch_bicubic():
         assert np.max(np.abs(x_ours - x_ref)) < 1e-3
         np.testing.assert_array_equal(np.asarray(mask_ours),
                                       np.asarray(mask_ref))
+
+
+def test_dataloader_sharded_positions_match_global_stream(places2_dir):
+    """Rank-sharded loaders (start_position=shard, position_stride=n)
+    draw per-item RNG from interleaved GLOBAL positions: no two shards
+    share a mask/flip stream (the round-4 review found all shards
+    colliding on shard-local positions), and the union of the shards'
+    items is bit-identical to the single-process stream at the same
+    global positions."""
+    ds = get_dataset(_places_cfg(places2_dir))
+    n = len(ds)  # 6
+
+    glob_dl = DataLoader(ds, batch_size=1, indices=list(range(n)),
+                         num_workers=1, drop_last=False, seed=11)
+    glob_items = list(glob_dl)
+
+    shard_items = {}
+    for p in range(2):
+        dl = DataLoader(ds, batch_size=1, indices=list(range(n))[p::2],
+                        num_workers=2, drop_last=False, seed=11,
+                        start_position=p, position_stride=2)
+        for t, it in enumerate(dl):
+            shard_items[t * 2 + p] = it
+
+    assert len(shard_items) == n
+    for pos, (x, m, u) in shard_items.items():
+        xg, mg, ug = glob_items[pos]
+        assert tuple(u) == tuple(ug)
+        np.testing.assert_array_equal(m, mg)
+        np.testing.assert_array_equal(x, xg)
+
+    # and the two shards' streams are actually distinct
+    assert not np.array_equal(shard_items[0][1], shard_items[1][1])
