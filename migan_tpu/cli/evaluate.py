@@ -42,11 +42,12 @@ def get_args(argv=None):
     p.add_argument("--num-workers", type=int, default=1,
                    help="loader threads. Default 1 keeps on-the-fly masks "
                    "on the sequential seed-0 global stream (bit-exact "
-                   "reference protocol); >1 switches to the per-item "
-                   "seeded stream — still deterministic, but a different "
-                   "stream than the reference, so published-number "
-                   "comparisons should keep 1 (or pass --mask-dir, "
-                   "identical under both)")
+                   "reference protocol); >1 — or any multi-process run — "
+                   "switches to the per-item seeded stream: still "
+                   "deterministic, but a different stream than the "
+                   "reference, so published-number comparisons should "
+                   "keep 1 in one process (or pass --mask-dir, identical "
+                   "under all modes)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32")
     p.add_argument("--inception-weights", type=str, default=None)
@@ -181,18 +182,21 @@ def main(argv=None):
                                extend=True).epoch_indices(0)
     else:
         indices = range(n)
-    # num_workers=1 (the default) keeps on-the-fly masks on the
-    # sequential seed-0 global stream (bit-exact reference protocol);
-    # more workers switch to per-item seeded RNG — still fully
-    # deterministic, but a different (worker-count-independent) stream.
-    # Pre-generated --mask-dir is identical under both. Multi-process:
-    # positions are rank-strided so shards draw from interleaved global
-    # positions (no cross-shard mask collisions; the union equals the
-    # single-process per-item stream).
+    # num_workers=1 in a single process (the default) keeps on-the-fly
+    # masks on the sequential seed-0 global stream (bit-exact reference
+    # protocol); more workers — or ANY multi-process run — switch to
+    # per-item seeded RNG: still fully deterministic, but a different
+    # (worker- and process-count-independent) stream. A sharded run must
+    # never use the global stream: every process would draw the same
+    # seed-0 sequence for different images (cross-shard mask collisions)
+    # while start_position/position_stride went ignored. Pre-generated
+    # --mask-dir is identical under all of these. Multi-process positions
+    # are rank-strided so shards draw from interleaved global positions;
+    # the union equals the single-process per-item stream.
     dl = DataLoader(ds, batch_size=args.batch_size,
                     indices=indices, num_workers=args.num_workers,
                     drop_last=False,
-                    seed=0 if args.num_workers > 1 else None,
+                    seed=0 if (args.num_workers > 1 or n_proc > 1) else None,
                     start_position=jax.process_index(),
                     position_stride=n_proc)
 
