@@ -119,14 +119,19 @@ def compute_feature_stats_for_inpainting(
     return stats
 
 
-def _fid_full_inpainting(max_items, *, dataset, generator_fn, detector_fn,
+def _fid_full_inpainting(num_items, *, dataset, generator_fn, detector_fn,
                          detector_tag="inception", batch_size=32,
-                         cache_dir=None, dataset_tag="") -> Dict[str, float]:
+                         cache_dir=None, dataset_tag="",
+                         max_items=None) -> Dict[str, float]:
+    # max_items: optional external cap below the metric's nominal item
+    # count (eval.max_items in training configs — smoke runs / tiny
+    # validation sets); None keeps the registered protocol count.
+    n = num_items if max_items is None else min(num_items, max_items)
     real = compute_feature_stats_for_dataset(
-        dataset, detector_fn, detector_tag, batch_size, max_items,
+        dataset, detector_fn, detector_tag, batch_size, n,
         cache_dir, dataset_tag)
     fake = compute_feature_stats_for_inpainting(
-        dataset, generator_fn, detector_fn, batch_size, max_items)
+        dataset, generator_fn, detector_fn, batch_size, n)
     mu_r, sig_r = real.get_mean_cov()
     mu_f, sig_f = fake.get_mean_cov()
     return {"fid": frechet_distance(mu_f, sig_f, mu_r, sig_r)}

@@ -146,33 +146,50 @@ def _encode_wire(x: np.ndarray, m: np.ndarray, wire: str):
 def _build_metric_ctx(cfg: Dict[str, Any]):
     """Set up the FID-inpainting metric machinery
     (reference migan_default.py:462-490 / metric_main registry) if the
-    experiment configures metrics and detector weights are available."""
+    experiment configures metrics and detector weights are available.
+
+    eval.allow_random_detector: true runs the metric plumbing with
+    random Inception weights (mirrors the evaluate CLI's
+    --allow-random-detector; FID values are meaningless but the branch
+    — detector passes, Frechet, jsonl, best-checkpoint gating — is
+    exercised end-to-end)."""
     cfgt = cfg["train"]
     metrics = cfgt.get("metrics") or []
     eval_cfg = cfg.get("eval") or {}
     if not metrics or "dataset" not in eval_cfg:
         return None
-    weights = eval_cfg.get("inception_weights")
-    if not weights or not osp.isfile(weights):
-        print_log("metrics configured but no inception_weights found — "
-                  "skipping metric evaluation (set eval.inception_weights)")
-        return None
     from ..data.factory import get_dataset
-    from ..evalx.inception import load_inception_weights, make_detector
+    from ..evalx.inception import (inception_init, load_inception_weights,
+                                   make_detector)
 
-    # flavor: the reference's TRAINING-TIME FID uses the NVIDIA TF-named
-    # TorchScript detector (frechet_inception_distance.py:25-26), which
-    # gives different numbers from the standalone pytorch_fid one
-    # (SURVEY §3.3). Auto-detect from the weight file; override with
-    # eval.inception_flavor for explicitness.
-    params, flavor = load_inception_weights(
-        weights, eval_cfg.get("inception_flavor", "auto"))
+    weights = eval_cfg.get("inception_weights")
+    if weights and osp.isfile(weights):
+        # flavor: the reference's TRAINING-TIME FID uses the NVIDIA
+        # TF-named TorchScript detector
+        # (frechet_inception_distance.py:25-26), which gives different
+        # numbers from the standalone pytorch_fid one (SURVEY §3.3).
+        # Auto-detect from the weight file; override with
+        # eval.inception_flavor for explicitness.
+        params, flavor = load_inception_weights(
+            weights, eval_cfg.get("inception_flavor", "auto"))
+    elif eval_cfg.get("allow_random_detector"):
+        import jax
+
+        print_log("WARNING: random Inception weights for training-time "
+                  "metrics — FID values are meaningless (plumbing only)")
+        params, flavor = inception_init(jax.random.PRNGKey(0)), "pytorch_fid"
+    else:
+        print_log("metrics configured but no inception_weights found — "
+                  "skipping metric evaluation (set eval.inception_weights "
+                  "or eval.allow_random_detector)")
+        return None
     print_log(f"training-time FID detector flavor: {flavor}")
     detector = make_detector(params, flavor)
     dataset = get_dataset(eval_cfg["dataset"])
     return {"metrics": metrics, "detector": detector, "dataset": dataset,
             "detector_tag": f"inception-{flavor}",
-            "batch_size": eval_cfg.get("batch_size", 32)}
+            "batch_size": eval_cfg.get("batch_size", 32),
+            "max_items": eval_cfg.get("max_items")}
 
 
 def _run_metrics(cfg, state, g_cfg, ctx, log_dir) -> Optional[float]:
@@ -182,11 +199,17 @@ def _run_metrics(cfg, state, g_cfg, ctx, log_dir) -> Optional[float]:
     from ..evalx import metrics as metric_main
     from ..models.migan import generator_apply as g_apply
 
+    # The jitted generator is built ONCE per training run and takes the
+    # params as an argument: every eval tick reuses the compiled program
+    # (building a fresh jit closure per call would recompile the full
+    # generator — ~90 s on TPU — at every metric evaluation).
+    if "gen_jit" not in ctx:
+        ctx["gen_jit"] = jax.jit(lambda params, x: g_apply(
+            params, x, g_cfg, noise_mode="const"))
     # localize the (replicated, hence addressable) EMA params so the
     # chief-only eval never launches a global computation in multi-host runs
     ema_host = jax.tree_util.tree_map(np.asarray, state.params_G_ema)
-    gen = jax.jit(lambda x: g_apply(ema_host, x, g_cfg,
-                                    noise_mode="const"))
+    gen = lambda x: ctx["gen_jit"](ema_host, x)
     fid_value = None
     for name in ctx["metrics"]:
         if not metric_main.is_valid_metric(name):
@@ -197,6 +220,7 @@ def _run_metrics(cfg, state, g_cfg, ctx, log_dir) -> Optional[float]:
             detector_fn=ctx["detector"],
             detector_tag=ctx.get("detector_tag", "inception"),
             batch_size=ctx["batch_size"],
+            max_items=ctx.get("max_items"),
             cache_dir=osp.join(log_dir, "fid-cache"),
             dataset_tag=cfg.get("eval", {}).get("dataset", {}).get("name",
                                                                    ""))
@@ -478,13 +502,28 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
         if (is_chief and snapshot.get("evaluate") and metric_ctx is not None
                 and cur_tick % snapshot["evaluate"] == 0 and cur_tick > 0):
             fid = _run_metrics(cfg, state, g_cfg, metric_ctx, log_dir)
-            if fid is not None and tb is not None:
-                tb.add_scalar("Metrics/fid", fid, cur_nimg)
+            if fid is not None:
+                print_log(f"tick {cur_tick}  Metrics/fid {fid:.3f}")
+                if stats_jsonl is not None:
+                    stats_jsonl.write(json.dumps(
+                        {"tick": cur_tick, "kimg": round(cur_nimg / 1e3, 1),
+                         "Metrics/fid": fid}) + "\n")
+                    stats_jsonl.flush()
+                if tb is not None:
+                    tb.add_scalar("Metrics/fid", fid, cur_nimg)
             if fid is not None and (best_metric is None
                                     or fid < best_metric):
                 best_metric = fid   # reference is_better: lowest FID
-                path = ckpt.save(osp.join(ckpt_dir, "best"), batch_idx,
-                                 state)
+                best_dir = osp.join(ckpt_dir, "best")
+                path = ckpt.save(best_dir, batch_idx, state)
+                # single best snapshot (reference keeps one best pkl,
+                # migan_default.py:139-146): drop superseded best steps
+                import shutil
+
+                for d in os.listdir(best_dir):
+                    full = osp.join(best_dir, d)
+                    if full != path and d.startswith("step_"):
+                        shutil.rmtree(full, ignore_errors=True)
                 print_log(f"new best FID {fid:.3f}: {path}")
 
         if is_chief and snapshot.get("checkpoint") and (
