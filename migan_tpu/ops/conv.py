@@ -128,3 +128,62 @@ def conv2d_resample(
         x = upfirdn2d(x, f, down=down, flip_filter=flip_filter,
                       precision=precision)
     return x
+
+
+def pw_up2_phase(x: jnp.ndarray, w_pw: jnp.ndarray, *, packed: bool = False,
+                 precision=None) -> jnp.ndarray:
+    """Pointwise conv with a FOLDED [1,3,3,1] up2-FIR: 4 phase-weighted
+    2x2 convs on the MXU instead of conv + depthwise FIR stencil on the
+    VPU.
+
+    The algebra is the reference's conv-then-filter fast path run in
+    reverse (reference torch_utils/ops/conv2d_resample.py:113-116 merges
+    a 1x1 conv with the up-filter; here the merged operator is expressed
+    as stride-1 convs per output phase so the MXU does all arithmetic):
+    up2-FIR output (2j+ph, 2p+pw) touches exactly 2x2 low-res pixels with
+    per-axis taps (0.25, 0.75) for even and (0.75, 0.25) for odd phases
+    (ops/upfirdn2d semantics with gain=4, zero-clipped at image edges —
+    reproduced by the convs' zero padding). Note the fold is 16x the
+    pointwise MACs — whether MXU idle capacity absorbs that is a
+    measured question (scripts/bench_fir_fold.py).
+
+    x: [N, H, W, Ci] -> [N, H, W, 4*Co]; channel group (ph*2 + pw)*Co + c
+    holds up-phase (ph, pw) — the layout fused_up_block(phase_input=True)
+    consumes.
+
+    packed=True: one 3x3 conv with 4*Co outputs (phase kernels zero-padded
+    into the common support) — 2.25x the MACs of the 4-conv form but a
+    single fused MXU op with no channel-concat relayout.
+    """
+    if w_pw.ndim == 4:
+        w_pw = w_pw[0, 0]
+    ci, co = w_pw.shape
+    precision = DEFAULT_PRECISION if precision is None else precision
+    taps = ((jnp.asarray([0.25, 0.75]), (1, 0)),     # even phase: j-1, j
+            (jnp.asarray([0.75, 0.25]), (0, 1)))    # odd phase:  j, j+1
+    w = w_pw.astype(x.dtype)
+    if packed:
+        k = jnp.zeros((3, 3, ci, 4 * co), x.dtype)
+        for ph in (0, 1):
+            fy = jnp.asarray([0.25, 0.75, 0.0] if ph == 0
+                             else [0.0, 0.75, 0.25])
+            for pw_ in (0, 1):
+                fx = jnp.asarray([0.25, 0.75, 0.0] if pw_ == 0
+                                 else [0.0, 0.75, 0.25])
+                g = (ph * 2 + pw_) * co
+                k = k.at[:, :, :, g:g + co].set(
+                    (fy[:, None, None, None] * fx[None, :, None, None]
+                     ).astype(x.dtype) * w[None, None])
+        return lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    outs = []
+    for fy, py in taps:
+        for fx, px in taps:
+            k = (fy[:, None, None, None] * fx[None, :, None, None]
+                 ).astype(x.dtype) * w[None, None]          # [2,2,Ci,Co]
+            outs.append(lax.conv_general_dilated(
+                x, k, (1, 1), (py, px),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision))
+    return jnp.concatenate(outs, axis=-1)

@@ -46,7 +46,7 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
             *refs,
             T: int, Wl: int, Hh: int, use_noise2: bool,
             NXL: int, NR: int, has_rgb: bool, emit_features: bool,
-            planar: bool = False):
+            planar: bool = False, phase_input: bool = False):
     """One grid step -> T packed output rows (= 2T hi-res pixels).
 
     refs order: [wrgb, brgb (if has_rgb)], [out (if emit_features)],
@@ -71,7 +71,8 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
     rgb_ref = next(it) if has_rgb else None
     x_scr, x_sem, s_scr, s_sem, t_scr = list(it)
     C = wdw_ref.shape[-1]
-    Ms = 2 * Wl
+    XC = 4 * C if phase_input else C      # phase_input: x rows carry the
+    Ms = 2 * Wl                           # 4 up-phases as channel groups
     SPAN = T + 2 * Ms                 # t rows computed per tile
     n_hi = SPAN // Wl                 # hi-res image rows in the span
     SZ_S = T + 2 * Ms
@@ -88,7 +89,7 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
 
     @pl.when(i == 0)
     def _():
-        x_scr[0, 0:2 * Ms] = jnp.zeros((2 * Ms, C), x_scr.dtype)
+        x_scr[0, 0:2 * Ms] = jnp.zeros((2 * Ms, XC), x_scr.dtype)
         s_scr[0, 0:2 * Ms] = jnp.zeros((2 * Ms, 2 * C), s_scr.dtype)
         xdma(0, 0).start()
         sdma(0, 0).start()
@@ -97,7 +98,7 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
     def _():
         slot = i % 2
         x_scr[slot, T // 2 + 2 * Ms:T // 2 + 4 * Ms] = (
-            jnp.zeros((2 * Ms, C), x_scr.dtype))
+            jnp.zeros((2 * Ms, XC), x_scr.dtype))
         s_scr[slot, T + 2 * Ms:T + 4 * Ms] = (
             jnp.zeros((2 * Ms, 2 * C), s_scr.dtype))
 
@@ -127,19 +128,29 @@ def _kernel(x_hbm, skip_hbm, nz_ref, wdw_ref, bdw_ref, wpw_ref, noise2_ref,
         def lo_row(jr):
             return xwin[pl.ds((jr + 3) * Wl, Wl), :].astype(jnp.float32)
 
-        if parity == 0:   # h = 2j: 0.25*x[j-1] + 0.75*x[j]
+        if phase_input:
+            # The producer already folded the up2-FIR into its pointwise
+            # conv as 4 phase-weighted 2x2 convs (ops/conv.pw_up2_phase):
+            # lo row j's channel group [parity*2C, (parity+1)*2C) IS the
+            # packed hi-res row (h = 2j + parity, both w phases) — one
+            # contiguous 128-aligned lane slice, zero stencil arithmetic
+            # and no seam masks on the VPU.
+            t_row = xwin[pl.ds((j_rel + 3) * Wl, Wl),
+                         pl.ds(parity * 2 * C, 2 * C)].astype(jnp.float32)
+        elif parity == 0:  # h = 2j: 0.25*x[j-1] + 0.75*x[j]
             u = 0.75 * lo_row(j_rel)
             u = u + jnp.where(h_img != 0, 0.25 * lo_row(j_rel - 1), 0.0)
-        else:             # h = 2j+1: 0.75*x[j] + 0.25*x[j+1]
+        else:              # h = 2j+1: 0.75*x[j] + 0.25*x[j+1]
             u = 0.75 * lo_row(j_rel)
             u = u + jnp.where(h_img != Hh - 1,
                               0.25 * lo_row(j_rel + 1), 0.0)
-        # w-interp: E[p] = .25*u[p-1] + .75*u[p]; O[p] = .75*u[p] + .25*u[p+1]
-        z1 = jnp.zeros((1, C), jnp.float32)
-        u_m1 = jnp.concatenate([z1, u[:-1]], axis=0)
-        u_p1 = jnp.concatenate([u[1:], z1], axis=0)
-        t_row = jnp.concatenate(
-            [0.25 * u_m1 + 0.75 * u, 0.75 * u + 0.25 * u_p1], axis=1)
+        if not phase_input:
+            # w-interp: E[p]=.25*u[p-1]+.75*u[p]; O[p]=.75*u[p]+.25*u[p+1]
+            z1 = jnp.zeros((1, C), jnp.float32)
+            u_m1 = jnp.concatenate([z1, u[:-1]], axis=0)
+            u_p1 = jnp.concatenate([u[1:], z1], axis=0)
+            t_row = jnp.concatenate(
+                [0.25 * u_m1 + 0.75 * u, 0.75 * u + 0.25 * u_p1], axis=1)
         nz = jax.lax.slice(nwin, (r * Wl, 0), ((r + 1) * Wl, 2))
         t_row = _act_noise(t_row, nz, C)
         t_row = t_row + swin[pl.ds(r * Wl + 2 * Wl, Wl), :].astype(
@@ -241,6 +252,29 @@ def _act_noise(t_row, nz, C):
     return _act(t)
 
 
+def _xla_up_block_phase(x4, skip, noise_up, w_dw, b_dw, w_pw, noise2):
+    """Unfused XLA composition of the PHASE-INPUT variant: interleave the
+    4 phase channel groups to the hi-res grid (pure depth-to-space — the
+    FIR already happened in the producer), then noise/act/skip/dw/pw."""
+    from ...ops import conv2d
+
+    N, Hl, Wl, XC = x4.shape
+    C = XC // 4
+    t = x4.reshape(N, Hl, Wl, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    t = t.reshape(N, 2 * Hl, 2 * Wl, C)
+    t = _act(t + noise_up[None, :, :, None].astype(t.dtype))
+    t = t + skip
+    if w_dw.ndim == 3:
+        w_dw = w_dw[:, :, None, :]
+    if w_pw.ndim == 2:
+        w_pw = w_pw[None, None]
+    y = _act(conv2d(t, w_dw, padding=1, groups=C) + b_dw.astype(t.dtype))
+    y = conv2d(y, w_pw)
+    if noise2 is not None:
+        y = y + noise2[None, :, :, None].astype(y.dtype)
+    return _act(y)
+
+
 def _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2):
     """Unfused XLA composition (correctness oracle + fallback)."""
     from ...ops import upsample2d, conv2d
@@ -264,7 +298,8 @@ def _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile_rows", "packed_out",
-                                    "emit_features", "rgb_planar"))
+                                    "emit_features", "rgb_planar",
+                                    "phase_input"))
 def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                    noise_up: jnp.ndarray,
                    w_dw: jnp.ndarray, b_dw: jnp.ndarray, w_pw: jnp.ndarray,
@@ -275,7 +310,8 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                    w_rgb: Optional[jnp.ndarray] = None,
                    b_rgb: Optional[jnp.ndarray] = None,
                    emit_features: bool = True,
-                   rgb_planar: bool = False):
+                   rgb_planar: bool = False,
+                   phase_input: bool = False):
     """Fused up2 + noise + act + skip + dw/pw sepconv (+noise2) + act.
 
     Args:
@@ -315,13 +351,24 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
     with w_rgb a tuple (features, rgb) — or just rgb when
     emit_features=False.
 
+    phase_input: x_lo is [N, Hl, Wl, 4C] — the output of
+        ops.conv.pw_up2_phase, which folds the up2-FIR into the
+        preceding pointwise conv as 4 phase-weighted 2x2 convs on the
+        MXU (channel group (ph*2 + pw)*C + c = up-phase (ph, pw)).
+        Step 1's VPU stencil (row shifts, w-interp concats, seam masks)
+        collapses to one contiguous lane slice per row; the kernel reads
+        4x the x bytes in exchange (hi-res-sized instead of lo-res).
+
     Static-offset derivation for the kernel's step 1 (x window positions):
       hi row h_glob = base_h + r with base_h = i*T/Wl - 2 (even since
       T % 2Wl == 0); its source lo rows are j = (h_glob - parity)/2 {, ±1};
       the x window maps scratch[p] <-> lo row i*T/2 - 4Wl + p, so row j
       sits at ((r - parity)/2 + 3 ± 1) * Wl — independent of i.
     """
-    N, Hl, Wl, C = x_lo.shape
+    N, Hl, Wl, XC = x_lo.shape
+    C = XC // 4 if phase_input else XC
+    if w_dw.ndim >= 3:
+        assert C == w_dw.shape[-1], (x_lo.shape, w_dw.shape, phase_input)
     Hh, Wh = 2 * Hl, 2 * Wl
     if skip.ndim == 2:
         assert skip.shape == (N * Hh * Wl, 2 * C), (skip.shape, x_lo.shape)
@@ -344,7 +391,7 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
             return itemsize * (
                 (T_ + 4 * Wl) * 2 * C          # t scratch
                 + 2 * (T_ + 8 * Wl) * 2 * C    # skip window (dbuf)
-                + 2 * (T_ // 2 + 8 * Wl) * C   # x window (dbuf)
+                + 2 * (T_ // 2 + 8 * Wl) * XC  # x window (dbuf)
                 + 2 * (T_ + 8 * Wl) * 128      # noise window (lane-padded)
                 + 2 * T_ * 2 * O)              # out (pipelined)
 
@@ -369,7 +416,8 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         return rgb2d.reshape(N, Hh, Wl, 2, cr).transpose(0, 3, 4, 1, 2)
 
     if not eligible:
-        y = _xla_up_block(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2)
+        xla_fn = _xla_up_block_phase if phase_input else _xla_up_block
+        y = xla_fn(x_lo, skip, noise_up, w_dw, b_dw, w_pw, noise2)
         yp = y.reshape(NR, 2 * y.shape[-1]) if packed_out else y
         if not has_rgb:
             return yp
@@ -381,7 +429,7 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         return (yp, rgb) if emit_features else rgb
 
     use_noise2 = noise2 is not None
-    x2d = x_lo.reshape(NXL, C)
+    x2d = x_lo.reshape(NXL, XC)
     s2d = skip.reshape(NR, 2 * C)
     nh_blocks = Rp_img // T
     SPAN = T + 4 * Wl
@@ -407,7 +455,7 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
     kernel = functools.partial(_kernel, T=T, Wl=Wl, Hh=Hh,
                                use_noise2=use_noise2, NXL=NXL, NR=NR,
                                has_rgb=has_rgb, emit_features=emit_features,
-                               planar=planar_store)
+                               planar=planar_store, phase_input=phase_input)
 
     out_specs = []
     out_shape = []
@@ -460,7 +508,7 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((2, T // 2 + 8 * Wl, C), x_lo.dtype),   # x window
+            pltpu.VMEM((2, T // 2 + 8 * Wl, XC), x_lo.dtype),  # x window
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, T + 8 * Wl, 2 * C), x_lo.dtype),    # skip window
             pltpu.SemaphoreType.DMA((2,)),

@@ -150,3 +150,66 @@ def test_rgb_planar_output():
                 .transpose(0, 3, 4, 1, 2))
         np.testing.assert_allclose(np.asarray(planar), want,
                                    rtol=1e-5, atol=1e-5)
+
+
+def _d2s(x4):
+    """Phase channel groups -> hi-res grid (depth-to-space)."""
+    N, H, W, XC = x4.shape
+    C = XC // 4
+    t = np.asarray(x4).reshape(N, H, W, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(N, 2 * H, 2 * W, C)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pw_up2_phase_matches_conv_then_upfir(packed):
+    """The FIR-fold algebra: pw_up2_phase output, interleaved to the hi
+    grid, equals pointwise conv followed by ops/upfirdn2d's up2 (the
+    model's exact upsample: [1,3,3,1], gain 4, zero edge clip)."""
+    from migan_tpu.ops import conv2d, upsample2d, setup_filter
+    from migan_tpu.ops.conv import pw_up2_phase
+
+    rng = np.random.RandomState(3)
+    N, H, W, Ci, Co = 2, 7, 9, 24, 16
+    y = jnp.asarray(rng.randn(N, H, W, Ci), jnp.float32)
+    w = jnp.asarray(rng.randn(1, 1, Ci, Co) * 0.2, jnp.float32)
+    f = setup_filter([1, 3, 3, 1])
+    want = np.asarray(upsample2d(conv2d(y, w), f, up=2))
+    got = _d2s(pw_up2_phase(y, w, packed=packed))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_up_block_phase_input():
+    """phase_input kernel path == the standard chain [pw -> up-block]:
+    both consume the same dw-act output y, one via conv + FIR stencil,
+    the other via the MXU phase fold + lane-slice kernel."""
+    from migan_tpu.ops import conv2d
+    from migan_tpu.ops.conv import pw_up2_phase
+
+    N, Hl, Wl, Ci, C, O = 2, 8, 16, 64, 128, 128
+    rng = np.random.RandomState(11)
+    y = jnp.asarray(rng.randn(N, Hl, Wl, Ci), jnp.float32)
+    w_pw1 = jnp.asarray(rng.randn(1, 1, Ci, C) * 0.2, jnp.float32)
+    skip = jnp.asarray(rng.randn(N, 2 * Hl, 2 * Wl, C), jnp.float32)
+    nz_up = jnp.asarray(rng.randn(2 * Hl, 2 * Wl) * 0.1, jnp.float32)
+    w_dw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.float32)
+    b_dw = jnp.asarray(rng.randn(C), jnp.float32)
+    w_pw = jnp.asarray(rng.randn(1, 1, C, O) * 0.2, jnp.float32)
+    nz2 = jnp.asarray(rng.randn(2 * Hl, 2 * Wl) * 0.1, jnp.float32)
+
+    x_lo = conv2d(y, w_pw1)
+    want = np.asarray(_xla_up_block(x_lo, skip, nz_up, w_dw, b_dw, w_pw,
+                                    nz2))
+
+    x4 = pw_up2_phase(y, w_pw1)
+    assert x4.shape == (N, Hl, Wl, 4 * C)
+    # kernel path (interpret)
+    got = np.asarray(fused_up_block(x4, skip, nz_up, w_dw, b_dw, w_pw, nz2,
+                                    interpret=True, tile_rows=4,
+                                    phase_input=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # XLA fallback path (ineligible O)
+    from migan_tpu.ops.pallas.upblock import _xla_up_block_phase
+
+    got_fb = np.asarray(_xla_up_block_phase(x4, skip, nz_up, w_dw, b_dw,
+                                            w_pw, nz2))
+    np.testing.assert_allclose(got_fb, want, rtol=1e-4, atol=1e-5)
