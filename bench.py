@@ -562,6 +562,31 @@ def bench_vpu_floor(warmup=2, iters=10):
     }
 
 
+def bench_stage_floors():
+    """Per-stage floor table via scripts/bench_stage_floors.walk_chain
+    (the same kernel-sequence walk, embedded in the round artifact)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "bench_stage_floors.py")
+    spec = importlib.util.spec_from_file_location("_stage_floors", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    t512 = mod.walk_chain(512, 32)
+    _release_device_memory()
+    t256 = mod.walk_chain(256, 64)
+    _release_device_memory()
+    worst = max(r["ratio"] for r in t512 + t256)
+    return {
+        "migan512": t512, "migan256": t256,
+        "worst_ratio": worst,
+        "note": ("ratio = kernel_ms / HBM-roundtrip floor of its true "
+                 "operand+result bytes (copy bandwidth measured per size "
+                 "class on this chip). ~1 = bytes-bound; the excess is "
+                 "VPU issue rate on stencil+activation work."),
+    }
+
+
 def _probe_backend(timeout_s: int = 900) -> bool:
     """Fail fast when the remote TPU tunnel is down: backend init hangs
     indefinitely in-process (observed), so probe it in a bounded
@@ -710,6 +735,13 @@ def main():
             train(res=512, bs_=8, roofline=False))
     section("train512_imgs_per_sec_kd", 200,
             train(res=512, bs_=8, kd=True, roofline=False))
+    # per-stage VPU-floor table (VERDICT r4 Next #1b): every Pallas
+    # ladder kernel of BOTH model geometries timed against the HBM
+    # round-trip floor of its own operand+result bytes — the "at the
+    # floor" claim measured per stage instead of extrapolated from one
+    # shape. Kept last: it is diagnostic, the throughput metrics above
+    # are the round's record.
+    section("stage_floors", 500, bench_stage_floors)
     result["bench_elapsed_s"] = round(time.monotonic() - _T0, 1)
     print(json.dumps(result), flush=True)
 
