@@ -122,10 +122,18 @@ def _resource_stats() -> Dict[str, float]:
 
 def _make_tb_writer(log_dir: str):
     """TensorBoard scalar sink (reference migan_default.py:578-585);
-    jsonl remains the primary sink, TB is best-effort."""
+    jsonl remains the primary sink, TB is best-effort. tensorboardX
+    first (no torch dependency in the production loop); the torch
+    writer only as a fallback for oracle-equipped dev environments."""
     try:
-        from torch.utils.tensorboard import SummaryWriter
-
+        from tensorboardX import SummaryWriter
+    except Exception:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except Exception as e:  # pragma: no cover
+            print_log(f"tensorboard unavailable ({e}); jsonl only")
+            return None
+    try:
         return SummaryWriter(log_dir=log_dir)
     except Exception as e:  # pragma: no cover
         print_log(f"tensorboard unavailable ({e}); jsonl only")
@@ -263,8 +271,14 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     is_chief = proc == 0
     assert batch_size % n_proc == 0, (batch_size, n_proc)
     local_bs = batch_size // n_proc
+    # block=local_bs: process p loads the CONTIGUOUS rows
+    # [p*local_bs, (p+1)*local_bs) of every global batch, so the global
+    # array shard_batch assembles is row-for-row the single-process batch
+    # (process p's devices are the mesh's rows p*local_bs.. in device-id
+    # order) — multi-process training is bitwise-identical to
+    # single-process (tests/test_multihost.py::test_two_process_train_parity)
     sampler = InfiniteSampler(len(trainset), num_shards=n_proc, shard=proc,
-                              seed=seed)
+                              seed=seed, block=local_bs)
 
     # ----- models ----------------------------------------------------------
     g_handle = get_model()(cfg["model_g"])
@@ -304,16 +318,18 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
     # position) — bit-reproducible at any dataset_num_workers (the
     # reference's torch DataLoader per-worker seeding gave determinism
     # only per worker count; the global-np.random fallback here isn't
-    # even that). Positions are rank-strided (this shard's t-th item is
-    # global position t*n_proc + proc, matching InfiniteSampler's
-    # rank-striding of the permuted order), so shards never share a
-    # mask/flip stream and a multi-process run draws exactly the
-    # single-process streams.
+    # even that). Positions are block-strided to match the sampler: this
+    # shard's j-th item of its b-th batch sits at global position
+    # b*batch_size + proc*local_bs + j, so shards never share a
+    # mask/flip stream and a multi-process run draws EXACTLY the
+    # single-process stream, row order included (bitwise train parity).
     loader = DataLoader(trainset, local_bs, indices=sampler_it,
                         num_workers=cfgt.get("dataset_num_workers") or 4,
                         seed=seed,
-                        start_position=skip_items * n_proc + proc,
-                        position_stride=n_proc)
+                        start_position=skip_items * n_proc
+                        + proc * local_bs,
+                        position_stride=n_proc,
+                        position_block=local_bs)
 
     mesh = make_mesh()
     state = replicate(state, mesh)
