@@ -30,10 +30,13 @@ export/pipeline.py — the reference ships this as its deployable ONNX
 artifact, scripts/create_onnx_pipeline.py:119-264, but never serves it).
 Arbitrary image sizes are handled by padding to static size buckets
 (--buckets; mask pad = known, so the bbox never grows into the padding),
-one compiled program per bucket; oversize images round up to the next
-multiple of the largest bucket and compile on first use. Pipeline
-requests are bs=1 by construction (one crop box per image), so they run
-serialized on the model thread rather than micro-batched.
+one compiled pre/post program per bucket; oversize images round up to
+the next multiple of the largest bucket and compile on first use. The
+crop/composite stages are per-request (one crop box per image), but the
+GENERATOR forward — whose [N, res, res, 4] shape is bucket-independent —
+runs through the same micro-batcher as resize mode, so concurrent
+pipeline requests (even of different sizes) share batched MXU
+dispatches.
 """
 
 from __future__ import annotations
@@ -173,27 +176,35 @@ class MicroBatcher:
 
 
 class PipelineRunner:
-    """Serialized bs=1 executor for the full-app pipeline over size buckets.
+    """Full-app pipeline executor over size buckets with a BATCHED
+    generator stage.
 
-    The pipeline program computes ONE crop box per image (reference
-    contract, scripts/create_onnx_pipeline.py:132-231), so requests are
-    inherently bs=1; a lock serializes device access across HTTP handler
-    threads. Images pad to the smallest bucket that fits (mask pad = 255
-    = known, so the bbox and therefore the generator input are identical
-    to running at the exact image size whenever the clamped crop box stays
-    inside the real image); oversize images round up to the next multiple
-    of the largest bucket and jit-compile on first use."""
+    Each request runs per-request pre (mask-bbox crop + resize to model
+    res) and post (paste + feathered composite) programs — one compiled
+    pair per size bucket — while the generator forward is submitted to
+    the shared MicroBatcher: its [N, res, res, 4] shape is
+    bucket-independent, so concurrent requests of ANY sizes batch into
+    one MXU dispatch. The crop box is ONE per image (reference contract,
+    scripts/create_onnx_pipeline.py:132-231); images pad to the smallest
+    bucket that fits (mask pad = 255 = known, so the bbox and therefore
+    the generator input are identical to running at the exact image size
+    whenever the clamped crop box stays inside the real image); oversize
+    images round up to the next multiple of the largest bucket and
+    jit-compile on first use. pre/post dispatch concurrently from the
+    HTTP handler threads (JAX dispatch is thread-safe; the device stream
+    serializes), overlapping their host work with device G batches."""
 
-    def __init__(self, pipeline, buckets):
-        self.pipeline = pipeline
+    def __init__(self, stages, batcher: "MicroBatcher", buckets):
+        self.pre, self.post = stages
+        self.batcher = batcher
         self.buckets = sorted(int(b) for b in buckets)
         if not self.buckets:
             raise ValueError("pipeline mode needs at least one size bucket")
-        self._lock = threading.Lock()
-        self.bucket_counts: dict = {}  # bucket -> requests served
+        self._lock = threading.Lock()    # stats only
+        self.bucket_counts: dict = {}    # bucket -> requests served
 
-    def close(self):  # shutdown contract shared with MicroBatcher
-        pass
+    def close(self):
+        self.batcher.close()
 
     def bucket_for(self, h: int, w: int) -> int:
         m = max(h, w)
@@ -204,11 +215,14 @@ class PipelineRunner:
         return ((m + step - 1) // step) * step
 
     def warmup(self):
-        """Compile every configured bucket (no-hole masks: fast + valid)."""
+        """Compile every configured pre/post bucket and every generator
+        batch bucket (no-hole masks: fast + valid)."""
         for b in self.buckets:
             img = np.zeros((1, b, b, 3), np.uint8)
             mask = np.full((1, b, b, 1), 255, np.uint8)
-            np.asarray(self.pipeline(img, mask))
+            x, box4 = self.pre(img, mask)
+            np.asarray(self.post(img, mask, jnp_zeros_like_out(x), box4))
+        self.batcher.warmup()
 
     def run(self, img_np: np.ndarray, mask_np: np.ndarray) -> np.ndarray:
         """img_np [H,W,3] uint8, mask_np [H,W] uint8 binarized (255=known)
@@ -219,10 +233,21 @@ class PipelineRunner:
         pm = np.full((1, b, b, 1), 255, np.uint8)
         pi[0, :h, :w] = img_np
         pm[0, :h, :w, 0] = mask_np
+        x, box4 = self.pre(pi, pm)
+        req = self.batcher.submit(np.asarray(x))
+        req.event.wait()
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        out = np.asarray(self.post(pi, pm, req.result[None], box4))
         with self._lock:
-            out = np.asarray(self.pipeline(pi, pm))
             self.bucket_counts[b] = self.bucket_counts.get(b, 0) + 1
         return out[0, :h, :w]
+
+
+def jnp_zeros_like_out(x) -> np.ndarray:
+    """Zero generator output matching input batch/res (warmup only)."""
+    n, res = x.shape[0], x.shape[1]
+    return np.zeros((n, res, res, 3), np.float32)
 
 
 def _decode_pipeline_request(body: bytes):
@@ -270,8 +295,9 @@ def make_server(forward, resolution: int, host: str, port: int,
 
     from ..data.preprocess import postprocess
 
-    batcher = None if pipeline_runner is not None else MicroBatcher(
-        forward, resolution, max_batch=max_batch, window_ms=window_ms)
+    batcher = (pipeline_runner.batcher if pipeline_runner is not None
+               else MicroBatcher(forward, resolution, max_batch=max_batch,
+                                 window_ms=window_ms))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; stats via /healthz
@@ -291,6 +317,7 @@ def make_server(forward, resolution: int, host: str, port: int,
                     "model": model_name,
                     "resolution": resolution,
                 }
+                served = batcher.batch_sizes_served
                 if pipeline_runner is not None:
                     info["mode"] = "pipeline"
                     info["buckets"] = pipeline_runner.buckets
@@ -300,12 +327,11 @@ def make_server(forward, resolution: int, host: str, port: int,
                         str(k): v for k, v in
                         sorted(pipeline_runner.bucket_counts.items())}
                 else:
-                    served = batcher.batch_sizes_served
                     info["mode"] = "resize"
                     info["requests_served"] = sum(served)
-                    info["dispatches"] = len(served)
-                    info["mean_batch"] = (round(sum(served) / len(served), 2)
-                                          if served else 0.0)
+                info["dispatches"] = len(served)
+                info["mean_batch"] = (round(sum(served) / len(served), 2)
+                                      if served else 0.0)
                 self._send(200, "application/json",
                            json.dumps(info).encode())
             else:
@@ -371,9 +397,13 @@ def main(argv=None):
                                      args.dtype)
     runner = None
     if args.pipeline:
-        from ..export.pipeline import make_pipeline
-        pipeline = make_pipeline(forward, resolution=resolution)
-        runner = PipelineRunner(pipeline, args.buckets.split(","))
+        from ..export.pipeline import make_pipeline_stages
+        stages = make_pipeline_stages(resolution)
+        runner = PipelineRunner(
+            stages,
+            MicroBatcher(forward, resolution, max_batch=args.max_batch,
+                         window_ms=args.batch_window_ms),
+            args.buckets.split(","))
     server, batcher = make_server(
         forward, resolution, args.host, args.port, args.model_name,
         max_batch=args.max_batch, window_ms=args.batch_window_ms,

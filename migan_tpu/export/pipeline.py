@@ -141,15 +141,15 @@ def _paste_resize(small: jnp.ndarray, box, out_hw: Tuple[int, int],
         translation, method=method, antialias=False)
 
 
-def make_pipeline(generator_fn: Callable[[jnp.ndarray], jnp.ndarray],
-                  resolution: int, padding: int = 128):
-    """Build pipeline(image_u8 [1,H,W,3], mask_u8 [1,H,W,1]) -> uint8 image.
+def _make_stage_fns(resolution: int, padding: int):
+    """The pipeline's pre/post halves around the generator forward —
+    shared verbatim by the monolithic program (make_pipeline) and the
+    staged serving path (make_pipeline_stages), so both trace the same
+    math."""
 
-    generator_fn: jittable [1,res,res,4] -> [1,res,res,3] in [-1,1].
-    """
-
-    @jax.jit
-    def pipeline(image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def pre(image: jnp.ndarray, mask: jnp.ndarray):
+        """uint8 [1,H,W,3] + [1,H,W,1] -> (generator input [1,res,res,4],
+        bbox [4] int32)."""
         assert image.dtype == jnp.uint8 and mask.dtype == jnp.uint8
         H, W = image.shape[1], image.shape[2]
         box = get_masked_bbox(mask, resolution, padding, H, W)
@@ -167,7 +167,14 @@ def make_pipeline(generator_fn: Callable[[jnp.ndarray], jnp.ndarray],
         img_n = img_s * (2.0 / 255.0) - 1.0
         mask_n = mask_s / 255.0
         x = jnp.concatenate([mask_n - 0.5, img_n * mask_n], axis=-1)
-        out = generator_fn(x)
+        return x, jnp.stack(box)
+
+    def post(image: jnp.ndarray, mask: jnp.ndarray, out: jnp.ndarray,
+             box4: jnp.ndarray) -> jnp.ndarray:
+        """Generator output [1,res,res,3] in [-1,1] + the pre() bbox ->
+        composited uint8 image at original size."""
+        H, W = image.shape[1], image.shape[2]
+        box = (box4[0], box4[1], box4[2], box4[3])
         out = jnp.clip((out * 0.5 + 0.5) * 255.0, 0, 255)
 
         # paste the model output back into full-image coordinates
@@ -192,4 +199,32 @@ def make_pipeline(generator_fn: Callable[[jnp.ndarray], jnp.ndarray],
                            image.astype(jnp.float32))
         return result.astype(jnp.uint8)
 
+    return pre, post
+
+
+def make_pipeline(generator_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                  resolution: int, padding: int = 128):
+    """Build pipeline(image_u8 [1,H,W,3], mask_u8 [1,H,W,1]) -> uint8 image.
+
+    generator_fn: jittable [1,res,res,4] -> [1,res,res,3] in [-1,1].
+    """
+    pre, post = _make_stage_fns(resolution, padding)
+
+    @jax.jit
+    def pipeline(image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        x, box4 = pre(image, mask)
+        out = generator_fn(x)
+        return post(image, mask, out, box4)
+
     return pipeline
+
+
+def make_pipeline_stages(resolution: int, padding: int = 128):
+    """The serving decomposition: (jitted pre, jitted post) around an
+    EXTERNAL generator dispatch. The generator input/output shapes are
+    bucket-independent ([N, res, res, 4/3]), so a server can batch the
+    G forwards of concurrent requests across size buckets while pre/post
+    stay per-request (cli/serve.py::PipelineRunner). Same traced math as
+    make_pipeline (shared stage functions)."""
+    pre, post = _make_stage_fns(resolution, padding)
+    return jax.jit(pre), jax.jit(post)

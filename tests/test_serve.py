@@ -164,8 +164,8 @@ def pipeline_server():
     from migan_tpu.models.migan_inference import (GeneratorConfig,
                                                   generator_init)
     from migan_tpu.models.migan_fold import generator_apply_fast
-    from migan_tpu.export.pipeline import make_pipeline
-    from migan_tpu.cli.serve import PipelineRunner, make_server
+    from migan_tpu.export.pipeline import make_pipeline, make_pipeline_stages
+    from migan_tpu.cli.serve import MicroBatcher, PipelineRunner, make_server
     import jax.numpy as jnp
 
     cfg = GeneratorConfig(resolution=64)
@@ -176,7 +176,9 @@ def pipeline_server():
         return generator_apply_fast(params, x, cfg).astype(jnp.float32)
 
     pipeline = make_pipeline(forward, resolution=64)
-    runner = PipelineRunner(pipeline, [96])
+    runner = PipelineRunner(make_pipeline_stages(64),
+                            MicroBatcher(forward, 64, max_batch=4,
+                                         window_ms=50.0), [96])
     srv, returned = make_server(forward, 64, "127.0.0.1", 0, "migan-64",
                                 pipeline_runner=runner)
     assert returned is runner
@@ -228,6 +230,58 @@ def test_pipeline_serve_oversize_rolls_up_bucket(pipeline_server):
     assert got.shape == (h, w, 3)
     assert not np.array_equal(got[30:60, 40:70], img[30:60, 40:70])
     assert 192 in runner.bucket_counts
+
+
+def test_pipeline_concurrent_requests_batch_generator(pipeline_server):
+    """Concurrent pipeline requests — of DIFFERENT image sizes — share
+    batched generator dispatches: the G input shape is bucket-independent,
+    so the shared MicroBatcher coalesces them (VERDICT r4 Next #6: the
+    production path must not keep a bs=1 cliff). Each client still gets
+    its own correct composite (known pixels preserved at original size)."""
+    port, runner, _ = pipeline_server
+    runner.warmup()
+    n0 = len(runner.batcher.batch_sizes_served)
+
+    sizes = [(80, 70), (64, 96), (90, 90), (70, 80), (96, 64), (85, 75)]
+    pairs = [_make_pair(seed=40 + i, size=s) for i, s in enumerate(sizes)]
+    results = [None] * len(pairs)
+    errors = []
+
+    def _client(i):
+        try:
+            body = json.dumps({"image": _png_b64(pairs[i][0]),
+                               "mask": _png_b64(pairs[i][1], "L")}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inpaint", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                results[i] = np.asarray(Image.open(io.BytesIO(resp.read())))
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=_client, args=(i,))
+               for i in range(len(pairs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    for i, (img, mask) in enumerate(pairs):
+        assert results[i].shape == img.shape, f"client {i}"
+        # the pipeline composite is FEATHERED (mask maxpool3 + gaussian
+        # blur): known pixels within ~3 px of the hole blend by design,
+        # so compare outside a 4-px dilation of the hole
+        h, w = mask.shape
+        far = np.array(mask == 255)
+        far[max(0, h // 4 - 4):3 * h // 4 + 4,
+            max(0, w // 4 - 4):3 * w // 4 + 4] = False
+        assert np.array_equal(results[i][far], img[far]), f"client {i}"
+        hole = mask == 0
+        assert not np.array_equal(results[i][hole], img[hole])
+
+    served = runner.batcher.batch_sizes_served[n0:]
+    assert max(served) > 1, f"expected batched G dispatches, got {served}"
 
 
 def test_pipeline_healthz_reports_mode(pipeline_server):
