@@ -515,10 +515,24 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
             except Exception as e:  # pragma: no cover
                 print_log(f"image snapshot failed: {e}")
 
-        if (is_chief and snapshot.get("evaluate") and metric_ctx is not None
+        # NOTE on multi-process gating: orbax saves are COLLECTIVE —
+        # PyTreeCheckpointer.save runs a cross-process sync barrier when
+        # jax.process_count() > 1, so EVERY process must enter ckpt.save
+        # (chief-only saving deadlocks the chief in the barrier; found
+        # live by tests/test_multihost.py::test_two_process_train_parity).
+        # The metric EVALUATION stays chief-only (local detector passes);
+        # its verdict is broadcast so all processes agree on best-saves.
+        if (snapshot.get("evaluate") and metric_ctx is not None
                 and cur_tick % snapshot["evaluate"] == 0 and cur_tick > 0):
-            fid = _run_metrics(cfg, state, g_cfg, metric_ctx, log_dir)
-            if fid is not None:
+            fid = (_run_metrics(cfg, state, g_cfg, metric_ctx, log_dir)
+                   if is_chief else None)
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                fid_b = multihost_utils.broadcast_one_to_all(
+                    np.float32(np.nan if fid is None else fid))
+                fid = None if np.isnan(fid_b) else float(fid_b)
+            if fid is not None and is_chief:
                 print_log(f"tick {cur_tick}  Metrics/fid {fid:.3f}")
                 if stats_jsonl is not None:
                     stats_jsonl.write(json.dumps(
@@ -534,18 +548,20 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
                 path = ckpt.save(best_dir, batch_idx, state)
                 # single best snapshot (reference keeps one best pkl,
                 # migan_default.py:139-146): drop superseded best steps
-                import shutil
+                if is_chief:
+                    import shutil
 
-                for d in os.listdir(best_dir):
-                    full = osp.join(best_dir, d)
-                    if full != path and d.startswith("step_"):
-                        shutil.rmtree(full, ignore_errors=True)
-                print_log(f"new best FID {fid:.3f}: {path}")
+                    for d in os.listdir(best_dir):
+                        full = osp.join(best_dir, d)
+                        if full != path and d.startswith("step_"):
+                            shutil.rmtree(full, ignore_errors=True)
+                    print_log(f"new best FID {fid:.3f}: {path}")
 
-        if is_chief and snapshot.get("checkpoint") and (
+        if snapshot.get("checkpoint") and (
                 cur_tick % snapshot["checkpoint"] == 0 or done):
             path = ckpt.save(ckpt_dir, batch_idx, state)
-            print_log(f"checkpoint: {path}")
+            if is_chief:
+                print_log(f"checkpoint: {path}")
 
         cur_tick += 1
         tick_start_nimg = cur_nimg
