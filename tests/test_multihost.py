@@ -259,9 +259,12 @@ def test_two_process_train_parity(tmp_path):
             outs[0][f"leaf_{i}"], outs_b[0][f"leaf_{i}"],
             err_msg=f"leaf {i}: 2-process run not reproducible")
 
-    # eval zipzap: interleave the two shards back into item order; must
-    # BITWISE equal the in-order recompute on the shared checkpoint
-    # params (no collectives in the eval forward)
+    # eval zipzap: interleave the two shards back into item order and
+    # compare to the in-order recompute on the shared checkpoint params.
+    # Tolerance, not bitwise: XLA:CPU splits conv reductions across the
+    # host thread pool, whose size differs between the 4-device workers
+    # and this 8-device process (measured ulp-level, ~2.5e-6 abs) — a
+    # shard-ordering bug would mismatch whole images, far beyond this.
     g_cfg = get_model()(cfg_sp["model_g"]).cfg
     from migan_tpu.train import checkpoint as ckpt_mod
 
@@ -277,7 +280,8 @@ def test_two_process_train_parity(tmp_path):
         rng = np.random.RandomState(1000 + i)
         x = rng.randn(1, 16, 16, 4).astype(np.float32)
         want = np.asarray(g_apply(ema, x, g_cfg, noise_mode="const"))[0]
-        np.testing.assert_array_equal(re[i], want, err_msg=f"eval item {i}")
+        np.testing.assert_allclose(re[i], want, rtol=3e-4, atol=1e-5,
+                                   err_msg=f"eval item {i}")
 
     # chief-only artifacts in the SHARED log dir: written exactly once
     # (two writers would leave two TB event files — they embed pid — and
