@@ -61,16 +61,21 @@ def bench_stage(name, Nf, Hl, Wl, Ci, C, O, dt=jnp.bfloat16):
         n, h, w, c = y.shape
         return (y.reshape(-1, c) @ w_pw1).reshape(n, h, w, C)
 
-    def chain_a(y):          # status quo: pw matmul + stencil kernel
+    # NOTE: the big tensors (y, skip — skip is ~1 GB at full batch) are
+    # traced ARGUMENTS everywhere; closing over them bakes them into the
+    # program as constants and the remote-compile RPC ships the bytes
+    # (measured: wedged the compile service for 20+ min, then broke the
+    # pipe). Weights/noise are small and fine as closure constants.
+    def chain_a(y, skip):    # status quo: pw matmul + stencil kernel
         return fused_up_block(pw(y), skip, nz_up, w_dw, b_dw, w_pw, nz2,
                               packed_out=True)
 
-    def chain_b(y):          # fold: 4 phase convs + lane-slice kernel
+    def chain_b(y, skip):    # fold: 4 phase convs + lane-slice kernel
         return fused_up_block(pw_up2_phase(y, w_pw1), skip, nz_up,
                               w_dw, b_dw, w_pw, nz2, packed_out=True,
                               phase_input=True)
 
-    def chain_b2(y):         # fold, single packed 3x3 conv producer
+    def chain_b2(y, skip):   # fold, single packed 3x3 conv producer
         return fused_up_block(pw_up2_phase(y, w_pw1, packed=True), skip,
                               nz_up, w_dw, b_dw, w_pw, nz2,
                               packed_out=True, phase_input=True)
@@ -79,25 +84,34 @@ def bench_stage(name, Nf, Hl, Wl, Ci, C, O, dt=jnp.bfloat16):
     x4 = jax.jit(lambda y: pw_up2_phase(y, w_pw1))(y)
 
     out = {"geometry": dict(Nf=Nf, Hl=Hl, Wl=Wl, Ci=Ci, C=C, O=O)}
-    out["A_pw_plus_stencil_kernel_ms"] = round(timeit(chain_a, y), 2)
-    out["B_phaseconv_plus_slice_kernel_ms"] = round(timeit(chain_b, y), 2)
-    out["B2_packedconv_variant_ms"] = round(timeit(chain_b2, y), 2)
-    out["C_kernel_only_stencil_ms"] = round(timeit(
-        lambda x: fused_up_block(x, skip, nz_up, w_dw, b_dw, w_pw, nz2,
-                                 packed_out=True), x_lo), 2)
-    out["D_kernel_only_slice_ms"] = round(timeit(
-        lambda x: fused_up_block(x, skip, nz_up, w_dw, b_dw, w_pw, nz2,
-                                 packed_out=True, phase_input=True), x4), 2)
-    out["pw_only_ms"] = round(timeit(pw, y), 2)
-    out["phaseconv_only_ms"] = round(timeit(
-        lambda y: pw_up2_phase(y, w_pw1), y), 2)
-    out["phaseconv_packed_only_ms"] = round(timeit(
-        lambda y: pw_up2_phase(y, w_pw1, packed=True), y), 2)
+
+    def rec(key, fn, *args):
+        out[key] = round(timeit(fn, *args), 2)
+        print(name, key, out[key], "ms", flush=True)
+
+    # smallest programs first: a remote-compile hiccup loses the least
+    rec("pw_only_ms", pw, y)
+    rec("phaseconv_only_ms", lambda y: pw_up2_phase(y, w_pw1), y)
+    rec("phaseconv_packed_only_ms",
+        lambda y: pw_up2_phase(y, w_pw1, packed=True), y)
+    rec("C_kernel_only_stencil_ms",
+        lambda x, s: fused_up_block(x, s, nz_up, w_dw, b_dw, w_pw, nz2,
+                                    packed_out=True), x_lo, skip)
+    rec("D_kernel_only_slice_ms",
+        lambda x, s: fused_up_block(x, s, nz_up, w_dw, b_dw, w_pw, nz2,
+                                    packed_out=True, phase_input=True),
+        x4, skip)
+    rec("A_pw_plus_stencil_kernel_ms", chain_a, y, skip)
+    rec("B_phaseconv_plus_slice_kernel_ms", chain_b, y, skip)
+    rec("B2_packedconv_variant_ms", chain_b2, y, skip)
     print(name, json.dumps(out), flush=True)
     return out
 
 
 def main():
+    from migan_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
           flush=True)
     # migan-512 folded top stage: bs128 -> Nf=64; Nf=16 keeps HBM headroom
