@@ -203,6 +203,9 @@ def walk_chain(resolution, bs, dt=jnp.bfloat16):
 
 
 def main():
+    from migan_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
           flush=True)
     bs512 = int(sys.argv[1]) if len(sys.argv) > 1 else 32
