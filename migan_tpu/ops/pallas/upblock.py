@@ -395,7 +395,14 @@ def fused_up_block(x_lo: jnp.ndarray, skip: jnp.ndarray,
                 + 2 * (T_ + 8 * Wl) * 128      # noise window (lane-padded)
                 + 2 * T_ * 2 * O)              # out (pipelined)
 
-        budget = 12 * 1024 * 1024
+        # vmem() counts the declared buffers; Mosaic additionally stack-
+        # allocates the step-2 f32 temporaries (~T*2C*4 each), which at
+        # C=1024 geometries pushed the scoped total past the 16M hard
+        # limit (measured: 17.05M at C=1024/Wl=32/T=256 — compile error,
+        # caught by scripts/bench_stage_floors.py). The tighter budget
+        # for C >= 1024 halves T exactly there; all other stages keep
+        # their tuned tiles.
+        budget = (12 if C < 1024 else 6) * 1024 * 1024
         while T > 4 * Wl and vmem(T) > budget:
             T //= 2
         # geometry gates: fixed span parity, tiles divide images, windows
