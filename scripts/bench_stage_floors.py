@@ -10,7 +10,7 @@ bytes / measured copy bandwidth at that size class). ratio <= ~1.15
 means the stage is bytes-bound (nothing left to harvest by cutting VPU
 work); >> 1 marks VPU-issue-bound stages.
 
-python scripts/bench_stage_floors.py [bs512] [bs256]   # defaults 32 256
+python scripts/bench_stage_floors.py [bs512] [bs256]   # defaults 32 64
 (bs512=32 i.e. Nf=16 after folding: per-row kernel cost is
 batch-invariant at these sizes — bench.py's vpu_floor methodology.)
 
@@ -209,7 +209,7 @@ def main():
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
           flush=True)
     bs512 = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    bs256 = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    bs256 = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     out = {
         "migan512": walk_chain(512, bs512),
         "migan256": walk_chain(256, bs256),
