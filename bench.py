@@ -576,14 +576,18 @@ def bench_stage_floors():
     _release_device_memory()
     t256 = mod.walk_chain(256, 64)
     _release_device_memory()
-    worst = max(r["ratio"] for r in t512 + t256)
+    worst = max(r["adj_ratio"] for r in t512 + t256)
     return {
         "migan512": t512, "migan256": t256,
-        "worst_ratio": worst,
+        "worst_adj_ratio": worst,
         "note": ("ratio = kernel_ms / HBM-roundtrip floor of its true "
                  "operand+result bytes (copy bandwidth measured per size "
-                 "class on this chip). ~1 = bytes-bound; the excess is "
-                 "VPU issue rate on stencil+activation work."),
+                 "class on this chip); adj_* subtracts the measured "
+                 "per-dispatch overhead the one-program production chain "
+                 "does not pay. ~1 = bytes-bound; the excess is VPU "
+                 "issue rate on stencil+activation work (both remedies "
+                 "measured negative: byte-cutting rounds 2-4, up2-FIR "
+                 "MXU fold round 5 — see ROADMAP)."),
     }
 
 
