@@ -410,7 +410,7 @@ def roofline_migan512(imgs_per_sec, bs):
 
 
 def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8,
-                    detector_dtype=None):
+                    detector_dtype=None, cache_real=False):
     """End-to-end eval-pipeline throughput: the north star's actual
     workload ("on-device batched scoring", BASELINE.json; reference loop
     scripts/evaluate_fid_lpips.py:236-259). Per batch: G forward +
@@ -445,12 +445,18 @@ def bench_eval_step(res=512, batch_sizes=(64, 128), warmup=2, iters=8,
         comp01 = jnp.clip(composed * 0.5 + 0.5, 0, 1)
         lp = lpips_apply(lp_params, imgs01, comp01, normalize=True,
                          compute_dtype=detector_dtype)
-        ra = inception_apply(inc_params, imgs01,
-                             compute_dtype=detector_dtype)
         fa = inception_apply(inc_params, comp01,
                              compute_dtype=detector_dtype)
-        return (jnp.sum(lp) + jnp.sum(ra.astype(jnp.float32))
-                + jnp.sum(fa.astype(jnp.float32)))
+        acc = jnp.sum(lp) + jnp.sum(fa.astype(jnp.float32))
+        if not cache_real:
+            # cache_real=True: steady-state protocol — the real images'
+            # activations are model-independent and come from the
+            # --real-acts-cache file (cli/evaluate.py), so the per-batch
+            # program skips the real-side detector pass.
+            ra = inception_apply(inc_params, imgs01,
+                                 compute_dtype=detector_dtype)
+            acc = acc + jnp.sum(ra.astype(jnp.float32))
+        return acc
 
     def measure(bs):
         x = jnp.zeros((bs, res, res, 4), jnp.bfloat16)
@@ -711,6 +717,13 @@ def main():
     # pipeline time at bs=128.
     section("eval_imgs_per_sec_bf16_detectors", 150,
             lambda: round(bench_eval_step(detector_dtype="bfloat16"), 2))
+    # steady-state scoring: bf16 detectors + cached real-image
+    # activations (--real-acts-cache) — the checkpoint-comparison loop's
+    # per-batch program (real acts computed once per dataset, as the
+    # training metrics stack does).
+    section("eval_imgs_per_sec_cached_real_bf16", 150,
+            lambda: round(bench_eval_step(detector_dtype="bfloat16",
+                                          cache_real=True), 2))
 
     def train(res=256, bs_=32, kd=False, roofline=True, rl_key=None):
         def run():

@@ -23,6 +23,7 @@ random detector weights (plumbing smoke test; metric values meaningless).
 from __future__ import annotations
 
 import argparse
+import os.path as osp
 import random
 from pathlib import Path
 
@@ -61,6 +62,15 @@ def get_args(argv=None):
                    "images; shifts FID slightly — keep float32 when "
                    "comparing against published numbers).")
     p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--real-acts-cache", type=str, default=None,
+                   help="npz path caching the REAL images' Inception "
+                   "activations across runs (they do not depend on the "
+                   "model; the training-metrics stack caches the same "
+                   "way). First run computes + saves; later runs skip "
+                   "the real-side detector pass — identical FID inputs, "
+                   "~10%% faster steady-state scoring. Invalidate by "
+                   "deleting the file when the real set or detector "
+                   "weights change.")
     p.add_argument("--data-parallel", action="store_true", default=None,
                    help="shard eval batches over all devices (default: on "
                    "when more than one device is visible)")
@@ -221,6 +231,17 @@ def main(argv=None):
                 a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
             return jax.device_put(a, sharding), pad
 
+    cache_path = args.real_acts_cache
+    cached_real = None
+    if cache_path and osp.isfile(cache_path):
+        z = np.load(cache_path)
+        if z["acts"].shape[0] == n:
+            cached_real = z["acts"]
+            print(f"real activations from cache: {cache_path}")
+        else:
+            print(f"ignoring {cache_path}: has {z['acts'].shape[0]} "
+                  f"items, need {n}")
+
     print("Starting the inference... ")
     lpips_vals = []
     real_acts, fake_acts = [], []
@@ -237,16 +258,20 @@ def main(argv=None):
         imgs01 = jnp.clip(imgs_j * 0.5 + 0.5, 0, 1)
         comp01 = jnp.clip(composed * 0.5 + 0.5, 0, 1)
         lp_b = np.asarray(lp(imgs01, comp01))
-        ra = np.asarray(inception(imgs01))
+        ra = (None if cached_real is not None
+              else np.asarray(inception(imgs01)))
         fa = np.asarray(inception(comp01))
         if npad:  # drop the device-padding rows
-            lp_b, ra, fa = lp_b[:-npad], ra[:-npad], fa[:-npad]
+            lp_b, fa = lp_b[:-npad], fa[:-npad]
+            ra = None if ra is None else ra[:-npad]
         lpips_vals.extend(lp_b.tolist())
-        real_acts.append(ra)
+        if ra is not None:
+            real_acts.append(ra)
         fake_acts.append(fa)
 
     lpips_arr = np.asarray(lpips_vals, np.float64)
-    real_acts = np.concatenate(real_acts)
+    real_acts = (cached_real if cached_real is not None
+                 else np.concatenate(real_acts))
     fake_acts = np.concatenate(fake_acts)
     if n_proc > 1:
         # allgather per-shard results, re-interleave to the original item
@@ -258,10 +283,13 @@ def main(argv=None):
             g = np.swapaxes(np.asarray(g), 0, 1)       # [m, P, ...]
             return g.reshape((-1,) + g.shape[2:])[:n]
 
-        lpips_arr, real_acts, fake_acts = (zipzap(lpips_arr),
-                                           zipzap(real_acts),
-                                           zipzap(fake_acts))
+        lpips_arr, fake_acts = zipzap(lpips_arr), zipzap(fake_acts)
+        if cached_real is None:
+            real_acts = zipzap(real_acts)
         lpips_vals = lpips_arr.tolist()
+    if cache_path and cached_real is None and jax.process_index() == 0:
+        np.savez(cache_path, acts=real_acts)
+        print(f"cached real activations -> {cache_path}")
 
     print("Calculating Frechet distance. Please wait... ")
     fid_value = fid_from_feature_arrays(real_acts, fake_acts)

@@ -193,17 +193,18 @@ def inception_apply(params: Params, x: jnp.ndarray, *,
                     compute_dtype=None) -> jnp.ndarray:
     """x: NHWC float in [0,1] -> [N, 2048] pool features.
 
-    compute_dtype='bfloat16' runs the conv stack in bf16 (weights cast
-    per-layer, output pooled in f32) — faster scoring on TPU; shifts
-    FID slightly (tests/test_evalx.py::test_detector_bf16_tolerance
-    bounds it), so f32 stays the default for metric fidelity."""
+    compute_dtype='bfloat16' runs the conv stack AND the input resize in
+    bf16 (weights cast per-layer, output pooled in f32) — faster scoring
+    on TPU; shifts FID slightly (tests/test_evalx.py::
+    test_detector_bf16_tolerance bounds it end-to-end, resize included),
+    so f32 stays the default for metric fidelity."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     if resize_input:
         x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]),
                              method="bilinear")
     if normalize_input:
         x = 2.0 * x - 1.0
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
     return _backbone(params, x)
 
 
