@@ -635,15 +635,28 @@ def main():
     enable_persistent_cache()
     # probe timeout must leave budget for at least one real measurement
     if not _probe_backend(timeout_s=min(900, max(60, _remaining() - 180))):
-        print(json.dumps({
+        line = {
             "metric": "migan512_inference_throughput",
             "value": 0.0,
             "unit": "images/sec/chip",
             "vs_baseline": 0.0,
             "error": "TPU backend unreachable (device init timed out; "
-                     "known-good 715 img/s as of 2026-08-17, see "
-                     "ROADMAP.md)",
-        }), flush=True)
+                     "known-good 713.45 img/s as of 2026-08-20 "
+                     "(BENCH_r04), see ROADMAP.md)",
+        }
+        # context: numbers measured on THIS chip earlier in the round,
+        # before the outage (labeled as such; the headline stays 0.0 —
+        # the driver's run did not measure them)
+        pre = {}
+        for key, path in (("stage_floors", "docs/stage_floors_r5.json"),
+                          ("fir_fold_ab", "docs/bench_fir_fold_r5.json"),
+                          ("eval_profile", "docs/eval_profile_r5.json")):
+            if os.path.isfile(path):
+                with open(path) as f:
+                    pre[key] = json.load(f)
+        if pre:
+            line["measured_earlier_this_round"] = pre
+        print(json.dumps(line), flush=True)
         sys.exit(1)
 
     result = {
