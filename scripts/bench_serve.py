@@ -44,7 +44,8 @@ def get_args():
     p.add_argument("--pipeline", action="store_true",
                    help="Load-test pipeline mode: arbitrary-size payloads "
                    "through the bbox-crop/feathered-composite app pipeline "
-                   "(serialized bs=1 device dispatches).")
+                   "(per-request pre/post programs; the generator forwards "
+                   "micro-batch across concurrent requests).")
     p.add_argument("--buckets", default="512,1024",
                    help="Pipeline mode size buckets.")
     p.add_argument("--image-size", type=int, default=0,
@@ -64,11 +65,14 @@ def main():
                                      args.dtype)
     runner = None
     if args.pipeline:
-        from migan_tpu.cli.serve import PipelineRunner
-        from migan_tpu.export.pipeline import make_pipeline
+        from migan_tpu.cli.serve import MicroBatcher, PipelineRunner
+        from migan_tpu.export.pipeline import make_pipeline_stages
 
-        runner = PipelineRunner(make_pipeline(forward, resolution),
-                                args.buckets.split(","))
+        runner = PipelineRunner(
+            make_pipeline_stages(resolution),
+            MicroBatcher(forward, resolution, max_batch=args.max_batch,
+                         window_ms=args.batch_window_ms),
+            args.buckets.split(","))
     server, batcher = make_server(forward, resolution, "127.0.0.1", 0,
                                   args.model_name, max_batch=args.max_batch,
                                   window_ms=args.batch_window_ms,
@@ -124,7 +128,8 @@ def main():
             with lat_lock:
                 lat.append(time.perf_counter() - t0)
 
-    n0 = 0 if args.pipeline else len(batcher.batch_sizes_served)
+    g_batcher = runner.batcher if args.pipeline else batcher
+    n0 = len(g_batcher.batch_sizes_served)
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(args.clients)]
     t0 = time.perf_counter()
@@ -145,18 +150,17 @@ def main():
         "p50_ms": round(float(lat_ms[len(lat_ms) // 2]), 1),
         "p95_ms": round(float(lat_ms[int(len(lat_ms) * 0.95)]), 1),
     }
+    served = g_batcher.batch_sizes_served[n0:]
+    hist = {}
+    for b in served:
+        hist[str(b)] = hist.get(str(b), 0) + 1
+    out["mean_batch"] = round(sum(served) / max(1, len(served)), 2)
+    out["batch_hist"] = hist
     if args.pipeline:
         out["mode"] = "pipeline"
         out["payload_hw"] = [ph, pw]
         out["bucket_counts"] = {str(k): v for k, v in
                                 sorted(batcher.bucket_counts.items())}
-    else:
-        served = batcher.batch_sizes_served[n0:]
-        hist = {}
-        for b in served:
-            hist[str(b)] = hist.get(str(b), 0) + 1
-        out["mean_batch"] = round(sum(served) / max(1, len(served)), 2)
-        out["batch_hist"] = hist
     print(json.dumps(out))
     server.shutdown()
     batcher.close()
