@@ -57,17 +57,47 @@ class ShardSampler:
 
 class InfiniteSampler:
     """Endless shuffled index stream (training; reference misc.py:109-140
-    capability, simplified to seed-derived reshuffling per pass)."""
+    capability, simplified to seed-derived reshuffling per pass).
+
+    block: BLOCK-contiguous multi-process sharding. With ``block=b``,
+    shard p of P yields exactly the global positions t of the
+    single-process stream (``InfiniteSampler(n, seed=seed)``) for which
+    ``(t // b) % P == p`` — i.e. process p owns the contiguous rows
+    [p*b, (p+1)*b) of every global batch of P*b items. The union of all
+    shards, re-interleaved block-wise, IS the single-process stream
+    bit-for-bit (tests/test_multihost.py::
+    test_block_sharded_stream_matches_single_process), which is what
+    makes multi-process training row-for-row identical to
+    single-process (train/loop.py). ``block=None`` keeps the legacy
+    per-item rank striding of ShardSampler (used by eval's
+    shard-extend protocol)."""
 
     def __init__(self, dataset_len: int, num_shards: int = 1, shard: int = 0,
-                 seed: int = 0):
+                 seed: int = 0, block: int = None):
         self.inner = ShardSampler(dataset_len, num_shards, shard,
                                   shuffle=True, seed=seed)
+        self.block = block
+        if block is not None:
+            assert block >= 1 and 0 <= shard < num_shards
+            # the GLOBAL (single-process) stream this shard filters
+            self._global = ShardSampler(dataset_len, 1, 0,
+                                        shuffle=True, seed=seed)
+            self.num_shards = num_shards
+            self.shard = shard
 
     def __iter__(self) -> Iterator[int]:
         epoch = 0
+        if self.block is None:
+            while True:
+                yield from self.inner.epoch_indices(epoch)
+                epoch += 1
+        b, P, p = self.block, self.num_shards, self.shard
+        t = 0  # global stream position, continuous across epochs
         while True:
-            yield from self.inner.epoch_indices(epoch)
+            for idx in self._global.epoch_indices(epoch):
+                if (t // b) % P == p:
+                    yield int(idx)
+                t += 1
             epoch += 1
 
 
@@ -92,22 +122,30 @@ class DataLoader:
     to the global ``np.random`` stream — the reference's single-process
     semantics, deterministic only at num_workers=1.
 
-    start_position / position_stride: address this loader's items inside
-    the GLOBAL item stream: the t-th item this loader yields sits at
-    global position ``start_position + t * position_stride``. A resumed
-    run passes the items already consumed so per-item RNG continues at
-    the same absolute positions (stream-exact resume; the caller
-    fast-forwards `indices` to match). A rank-sharded run passes
-    ``start_position=...+shard, position_stride=num_shards`` so shards
-    occupy interleaved global positions — no two shards share a mask/flip
-    stream, and the union of all shards reproduces the single-process
-    stream bit-exactly.
+    start_position / position_stride / position_block: address this
+    loader's items inside the GLOBAL item stream. The t-th item this
+    loader yields sits at global position ``_position(t) =
+    start_position + (t // position_block) * position_stride *
+    position_block + (t % position_block)`` — i.e. the loader's stream
+    is consumed in contiguous blocks of ``position_block`` items placed
+    ``position_stride`` blocks apart. With the default
+    ``position_block=1`` this is the legacy per-item striding
+    ``start_position + t * position_stride``. A resumed run passes the
+    items already consumed so per-item RNG continues at the same
+    absolute positions (stream-exact resume; the caller fast-forwards
+    `indices` to match). A block-sharded training run (train/loop.py)
+    passes ``start_position=shard*local_bs, position_stride=num_shards,
+    position_block=local_bs`` so shard p's j-th item of its b-th batch
+    sits at global position ``b*global_bs + p*local_bs + j`` — no two
+    shards share a mask/flip stream, and the union of all shards
+    reproduces the single-process stream bit-exactly, row order
+    included.
     """
 
     def __init__(self, dataset, batch_size: int, indices=None,
                  num_workers: int = 4, prefetch: int = 4,
                  drop_last: bool = True, seed=None, start_position: int = 0,
-                 position_stride: int = 1):
+                 position_stride: int = 1, position_block: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices = indices
@@ -122,24 +160,31 @@ class DataLoader:
         self.seed = seed
         self.start_position = start_position
         self.position_stride = position_stride
+        self.position_block = position_block
+
+    def _position(self, t: int) -> int:
+        """Global item-stream position of this loader's t-th item."""
+        b = self.position_block
+        return (self.start_position
+                + (t // b) * self.position_stride * b + (t % b))
 
     def _index_batches(self):
-        """Yields (start_position, [dataset indices]); start_position is
-        the batch's offset in the global item stream (the per-item RNG
-        key when `seed` is set)."""
+        """Yields (t0, [dataset indices]); t0 is the local ordinal of the
+        batch's first item — `_position(t0 + j)` is item j's offset in
+        the global item stream (the per-item RNG key when `seed` is
+        set)."""
         it = iter(self.indices if self.indices is not None
                   else range(len(self.dataset)))
         batch: List[int] = []
-        pos = self.start_position
-        step = self.position_stride
+        t0 = 0
         for idx in it:
             batch.append(idx)
             if len(batch) == self.batch_size:
-                yield pos, batch
-                pos += len(batch) * step
+                yield t0, batch
+                t0 += len(batch)
                 batch = []
         if batch and not self.drop_last:
-            yield pos, batch
+            yield t0, batch
 
     def __iter__(self):
         """Yields batches in deterministic index order regardless of worker
@@ -163,13 +208,12 @@ class DataLoader:
                 if job is None:
                     q.put(None)
                     return
-                seq, (pos, idxs) = job
+                seq, (t0, idxs) = job
                 if self.seed is None:
                     items = [self.dataset[i] for i in idxs]
                 else:
                     items = [self.dataset.__getitem__(
-                        i, rng=_item_rng(self.seed,
-                                         pos + j * self.position_stride))
+                        i, rng=_item_rng(self.seed, self._position(t0 + j)))
                         for j, i in enumerate(idxs)]
                 q.put((seq, collate(items)))
 
