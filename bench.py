@@ -220,13 +220,16 @@ def _make_bench_teacher(res):
     import jax
     import jax.numpy as jnp
     from migan_tpu.models.comodgan import (
-        CoModGANConfig, generator_init, make_teacher_fn,
+        CoModGANConfig, generator_init, make_teacher_apply,
     )
 
     cfg = CoModGANConfig(resolution=res)
     params = generator_init(jax.random.PRNGKey(7), cfg)
     params = _bf16_params(params)
-    return make_teacher_fn(params, cfg)
+    # (apply, params) tuple: weights enter the train program as a traced
+    # argument, not as ~160 MB of HLO closure constants shipped through
+    # the remote-compile RPC (train_step._normalize_teacher)
+    return make_teacher_apply(cfg), jax.device_put(params)
 
 
 def bench_train_step(res=256, bs=32, warmup=2, iters=4, steps_per_call=8,

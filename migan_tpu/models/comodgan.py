@@ -267,16 +267,31 @@ def generator_apply(params: Params, x, cfg: CoModGANConfig, *,
                            return_intermediate=return_intermediate)
 
 
-def make_teacher_fn(params: Params, cfg: CoModGANConfig):
-    """Build the teacher callable consumed by train.loss.g_loss
-    (reference loss.py:131-137: teacher runs with random z, eval mode,
-    random noise)."""
-    def teacher_fn(x, rng):
+def make_teacher_apply(cfg: CoModGANConfig):
+    """Param-carrying teacher for train.loss.g_loss (reference
+    loss.py:131-137: teacher runs with random z, eval mode, random
+    noise): ``apply(params, x, rng) -> (img, inter)``. The weights stay
+    a TRACED argument of whatever program embeds the teacher — a
+    params-closing closure bakes ~310 MB of Co-Mod-GAN weights into the
+    HLO as constants, which the remote-compile RPC rejects outright
+    (HTTP 413; train_step._normalize_teacher)."""
+    def teacher_apply(params: Params, x, rng):
         img, inter = generator_apply(
             params, x, cfg, rng=rng, noise_mode="random",
             return_intermediate=True)
         return jax.lax.stop_gradient(img), jax.tree_util.tree_map(
             jax.lax.stop_gradient, inter)
+
+    return teacher_apply
+
+
+def make_teacher_fn(params: Params, cfg: CoModGANConfig):
+    """Closure form of make_teacher_apply — unit-test convenience only;
+    production teachers must keep params as an argument (see above)."""
+    apply = make_teacher_apply(cfg)
+
+    def teacher_fn(x, rng):
+        return apply(params, x, rng)
 
     return teacher_fn
 

@@ -54,7 +54,10 @@ def _train_config_from_cfg(cfgt: Dict[str, Any]) -> TrainConfig:
 
 def _make_teacher(cfgt: Dict[str, Any]):
     """Load the Co-Mod-GAN teacher if configured and present
-    (reference loss.py:55-121)."""
+    (reference loss.py:55-121). Returns the (apply_fn, params) tuple
+    form — the 310 MB of teacher weights must enter the jitted train
+    programs as a traced argument, never as closure constants
+    (train_step._normalize_teacher)."""
     kd_kwargs = cfgt.get("image_level_kd_kwargs")
     if not (kd_kwargs and kd_kwargs.get("use_image_level_kd")):
         return None
@@ -63,7 +66,7 @@ def _make_teacher(cfgt: Dict[str, Any]):
         print_log(f"KD teacher not found at {path!r} — "
                   "training WITHOUT distillation")
         return None
-    from ..models.comodgan import CoModGANConfig, make_teacher_fn
+    from ..models.comodgan import CoModGANConfig, make_teacher_apply
 
     res = kd_kwargs.get("inference_resolution", 256)
     cfg = CoModGANConfig(resolution=res)
@@ -76,7 +79,7 @@ def _make_teacher(cfgt: Dict[str, Any]):
 
         params = import_migan_train(load_torch_state_dict(path))
     print_log(f"Loaded teacher 1 (CoModGAN) from {path}")
-    return make_teacher_fn(params, cfg)
+    return make_teacher_apply(cfg), params
 
 
 def _save_image_grid(batch_nhwc: np.ndarray, path: str, grid=(8, 6)):
@@ -333,6 +336,12 @@ def train_stage(cfg: Dict[str, Any], max_steps: Optional[int] = None):
 
     mesh = make_mesh()
     state = replicate(state, mesh)
+    if isinstance(teacher_fn, tuple):
+        # teacher weights live on-device once (replicated), then ride
+        # through every step dispatch as a cheap traced argument — a
+        # host-numpy pytree here would re-upload ~310 MB per call
+        t_apply, t_params = teacher_fn
+        teacher_fn = (t_apply, replicate(t_params, mesh))
     # steps_per_call > 1: one donated program advances k optimizer steps
     # per dispatch (make_fused_train_step) — throughput-neutral on one
     # chip but keeps the host out of the loop; batches are buffered and

@@ -198,6 +198,25 @@ def ema_update(params_G, params_G_ema, nimg, cfg: TrainConfig):
     return copy_buffers(params_G, new_ema)
 
 
+def _normalize_teacher(teacher_fn):
+    """Teacher contract normalization.
+
+    Preferred form: a ``(apply_fn, params)`` tuple with
+    ``apply_fn(params, x, rng) -> (img, inter)`` — the teacher weights
+    enter every jitted program as a TRACED argument. A bare closure
+    ``f(x, rng)`` (unit tests, tiny teachers) is still accepted, but a
+    production-size teacher must use the tuple form: closure constants
+    are baked into the HLO, and the remote-compile RPC then ships them
+    as program bytes — the 310 MB Co-Mod-GAN teacher exceeded the
+    compile service's request-body limit outright (HTTP 413; see
+    CLAUDE.md "closure-constant compile hazard")."""
+    if teacher_fn is None:
+        return None, None
+    if isinstance(teacher_fn, tuple):
+        return teacher_fn
+    return (lambda tp, x, k: teacher_fn(x, k)), None
+
+
 def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
                     cfg: TrainConfig, teacher_fn=None):
     """Build train_step(state, batch, rng, *, do_dr1) -> (state, stats).
@@ -215,12 +234,16 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     tx_g = make_optimizer(cfg.g_opt)
     tx_d = make_optimizer(cfg.d_opt)
     rounds = max(1, cfg.grad_accum_rounds)
+    t_apply, t_params = _normalize_teacher(teacher_fn)
 
     @jax.jit
-    def g_phase(params_G, opt_G, params_D, real, mask, rng):
+    def g_phase(params_G, opt_G, params_D, real, mask, rng, tparams):
+        tf = None if t_apply is None else (
+            lambda x, k: t_apply(tparams, x, k))
+
         def g_loss_fn(p, x, m, k):
             return losses.g_loss(p, params_D, x, m, x * m, k,
-                                 g_cfg, d_cfg, cfg.loss, teacher_fn)
+                                 g_cfg, d_cfg, cfg.loss, tf)
 
         g_grads, g_stats = _accum_grads(g_loss_fn, params_G, (real, mask),
                                         rounds, rng=rng)
@@ -268,7 +291,8 @@ def make_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
         real, mask = _decode(batch["real"], batch["mask"])
         k_g, k_d = jax.random.split(rng)
         params_G, opt_G, g_stats = g_phase(
-            state.params_G, state.opt_G, state.params_D, real, mask, k_g)
+            state.params_G, state.opt_G, state.params_D, real, mask, k_g,
+            t_params)
         params_D, opt_D, d_stats = d_phase(
             state.params_D, state.opt_D, params_G, real, mask, k_d)
         if do_dr1:
@@ -337,14 +361,17 @@ def make_fused_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
     rounds = max(1, cfg.grad_accum_rounds)
     interval = cfg.d_opt.reg_interval
     k_steps = steps_per_call
+    t_apply, t_params = _normalize_teacher(teacher_fn)
 
-    def one_step(state: TrainState, real, mask, rng):
+    def one_step(state: TrainState, real, mask, rng, tparams):
         real, mask = _decode_batch(real, mask)
         k_g, k_d = jax.random.split(rng)
+        tf = None if t_apply is None else (
+            lambda x, k: t_apply(tparams, x, k))
 
         def g_loss_fn(p, x, m, kk):
             return losses.g_loss(p, state.params_D, x, m, x * m, kk,
-                                 g_cfg, d_cfg, cfg.loss, teacher_fn)
+                                 g_cfg, d_cfg, cfg.loss, tf)
 
         g_grads, g_stats = _accum_grads(g_loss_fn, state.params_G,
                                         (real, mask), rounds, rng=k_g)
@@ -402,20 +429,28 @@ def make_fused_train_step(g_cfg: migan.MiganConfig, d_cfg: migan.MiganConfig,
         return new_state, stats
 
     def multi_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rngs: jax.Array):
+                   rngs: jax.Array, tparams):
         real_k, mask_k = batch["real"], batch["mask"]
         assert real_k.shape[0] == k_steps, (real_k.shape, k_steps)
 
         if k_steps == 1:
             # no point lowering a length-1 while loop
-            new_state, stats = one_step(state, real_k[0], mask_k[0], rngs[0])
+            new_state, stats = one_step(state, real_k[0], mask_k[0], rngs[0],
+                                        tparams)
             return new_state, jax.tree_util.tree_map(
                 lambda s: s[None], stats)
 
         def body(st, xs):
             r, m, kk = xs
-            return one_step(st, r, m, kk)
+            return one_step(st, r, m, kk, tparams)
 
         return jax.lax.scan(body, state, (real_k, mask_k, rngs))
 
-    return jax.jit(multi_step, donate_argnums=(0,))
+    jitted = jax.jit(multi_step, donate_argnums=(0,))
+
+    def step(state, batch, rngs):
+        # teacher weights ride along as a traced argument (see
+        # _normalize_teacher); callers keep the 3-arg signature
+        return jitted(state, batch, rngs, t_params)
+
+    return step
